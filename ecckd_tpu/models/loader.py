@@ -1,0 +1,197 @@
+"""ckd-definition netCDF file loader.
+
+Builds a :class:`~ecckd_tpu.models.ckd.CKDModel` from an ecCKD
+"ckd-definition" file, implementing the same schema and gas-registration
+semantics as the reference loader
+(/root/reference/example/rfmip-rad-irf/mo_load_coefficients.F90:19-203):
+
+* every non-"composite" token of the global attribute ``constituent_id``
+  becomes a gas with its own absorption table;
+* every token of ``composite_constituent_id`` not already registered becomes a
+  gas pointing at the *composite* table with ``composite_only=True``
+  (mo_load_coefficients.F90:127-143);
+* a gas with a 1-D ``<gas>_mole_fraction`` variable is a look-up-table gas
+  (code 2) with a 4-D table; otherwise the scalar
+  ``<gas>_conc_dependence_code`` selects none/linear/relative-linear with a
+  3-D table (mo_load_coefficients.F90:149-203).
+
+The files are netCDF3-classic; they are parsed with ``scipy.io.netcdf_file``
+(no libnetcdf dependency).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.io import netcdf_file
+
+from ecckd_tpu import constants
+from ecckd_tpu.config import default_precision
+from ecckd_tpu.models.ckd import CKDModel
+
+COMPOSITE = "composite"
+
+
+def _read(var) -> np.ndarray:
+    """Materialize a scipy netcdf variable as a native-endian numpy array."""
+    data = np.asarray(var.data)
+    return data.astype(data.dtype.newbyteorder("="), copy=True)
+
+
+def _attr_tokens(f, name: str) -> List[str]:
+    raw = getattr(f, name)
+    if isinstance(raw, bytes):
+        raw = raw.decode()
+    return raw.split()
+
+
+def load_ckd_model(path: str, dtype=None) -> CKDModel:
+    """Load a ckd-definition file into a CKDModel pytree.
+
+    Args:
+      path: ckd-definition netCDF file (netCDF3 classic).
+      dtype: working dtype for the tables (default: precision policy).
+    """
+    if dtype is None:
+        dtype = default_precision().dtype
+
+    f = netcdf_file(path, mmap=False)
+    try:
+        return _build_model(f, dtype)
+    finally:
+        f.close()
+
+
+def _build_model(f, dtype) -> CKDModel:
+    v = f.variables
+
+    pressure = _read(v["pressure"])  # (np,) [Pa]
+    log_pressure = np.log(pressure)
+    # File stores (temperature, pressure); we index (pressure, temperature).
+    temperature_grid = _read(v["temperature"]).T  # (np, nT)
+
+    # Band structure: contiguous g-point runs per band
+    # (mo_load_coefficients.F90:59-73).
+    wn1 = _read(v["wavenumber1_band"])
+    wn2 = _read(v["wavenumber2_band"])
+    band_number = _read(v["band_number"]).astype(np.int64)  # 0-based per gpt
+    ngpt = band_number.shape[0]
+    nband = wn1.shape[0]
+    band2gpt: List[Tuple[int, int]] = []
+    for b in range(nband):
+        gpts = np.nonzero(band_number == b)[0]
+        band2gpt.append((int(gpts[0]), int(gpts[-1])))
+    band_limits = tuple((float(a), float(b)) for a, b in zip(wn1, wn2))
+
+    gpoint_fraction = _read(v["gpoint_fraction"])  # (ngpt, n_wavenumber)
+
+    shortwave = "solar_irradiance" in v
+    solar_irradiance = rayleigh_coeff = None
+    planck_temperature = planck_function = None
+    total_solar_irradiance = 0.0
+    if shortwave:
+        solar_irradiance = _read(v["solar_irradiance"])
+        total_solar_irradiance = float(solar_irradiance.sum())
+        rayleigh_coeff = _read(v["rayleigh_molar_scattering_coeff"])
+    else:
+        planck_temperature = _read(v["temperature_planck"])
+        planck_function = _read(v["planck_function"])  # (n_planck_T, ngpt)
+
+    # --- gas registration (mo_load_coefficients.F90:103-144) ---------------
+    tokens = _attr_tokens(f, "constituent_id")
+    uses_composite = COMPOSITE in tokens
+    composite_tokens = (
+        _attr_tokens(f, "composite_constituent_id") if uses_composite else []
+    )
+
+    gas_names: List[str] = []
+    gas_codes: List[int] = []
+    gas_table_idx: List[int] = []
+    gas_composite_only: List[bool] = []
+    gas_reference_mf: List[float] = []
+    dense_tables: List[np.ndarray] = []
+    lut_tables: List[np.ndarray] = []
+    lut_mf_grids: List[Tuple[float, ...]] = []
+    dense_row_of: Dict[str, int] = {}
+
+    def read_gas(name: str, file_gas: str, composite_only: bool) -> None:
+        """mo_load_coefficients.F90:149-203 equivalent."""
+        mf_var = f"{file_gas}_mole_fraction"
+        is_lut = mf_var in v and len(v[mf_var].dimensions) == 1
+        if is_lut:
+            mf = _read(v[mf_var])
+            coeff = _read(v[f"{file_gas}_molar_absorption_coeff"])
+            # file (mf, T, p, gpt) -> (mf, p, T, gpt)
+            coeff = np.ascontiguousarray(coeff.transpose(0, 2, 1, 3))
+            gas_names.append(name)
+            gas_codes.append(constants.CONC_LUT)
+            gas_table_idx.append(len(lut_tables))
+            gas_composite_only.append(composite_only)
+            gas_reference_mf.append(0.0)
+            lut_tables.append(coeff)
+            lut_mf_grids.append(tuple(float(x) for x in mf))
+            return
+        code = int(_read(v[f"{file_gas}_conc_dependence_code"]))
+        if code not in (constants.CONC_NONE, constants.CONC_LINEAR,
+                        constants.CONC_RELATIVE_LINEAR):
+            raise ValueError(
+                f"bad concentration dependence code {code} for gas {file_gas}")
+        ref_mf = 0.0
+        if code == constants.CONC_RELATIVE_LINEAR:
+            ref_mf = float(_read(v[f"{file_gas}_reference_mole_fraction"]))
+        if file_gas in dense_row_of:
+            row = dense_row_of[file_gas]
+        else:
+            coeff = _read(v[f"{file_gas}_molar_absorption_coeff"])
+            if coeff.ndim != 3:
+                raise ValueError(
+                    f"absorption coefficient for {file_gas} is not 3-D")
+            # file (T, p, gpt) -> (p, T, gpt)
+            coeff = np.ascontiguousarray(coeff.transpose(1, 0, 2))
+            row = len(dense_tables)
+            dense_tables.append(coeff)
+            dense_row_of[file_gas] = row
+        gas_names.append(name)
+        gas_codes.append(code)
+        gas_table_idx.append(row)
+        gas_composite_only.append(composite_only)
+        gas_reference_mf.append(ref_mf)
+
+    for tok in tokens:
+        if tok != COMPOSITE:
+            read_gas(tok, tok, composite_only=False)
+    for tok in composite_tokens:
+        if tok not in gas_names:
+            read_gas(tok, COMPOSITE, composite_only=True)
+
+    arr = lambda x: jnp.asarray(x, dtype=dtype)
+    opt = lambda x: None if x is None else arr(x)
+
+    return CKDModel(
+        log_pressure=arr(log_pressure),
+        temperature_grid=arr(temperature_grid),
+        coeff_dense=arr(np.stack(dense_tables, axis=0)),
+        coeff_lut=tuple(arr(t) for t in lut_tables),
+        gpoint_fraction=arr(gpoint_fraction),
+        planck_temperature=opt(planck_temperature),
+        planck_function=opt(planck_function),
+        solar_irradiance=opt(solar_irradiance),
+        rayleigh_coeff=opt(rayleigh_coeff),
+        gas_names=tuple(gas_names),
+        gas_codes=tuple(gas_codes),
+        gas_table_idx=tuple(gas_table_idx),
+        gas_composite_only=tuple(gas_composite_only),
+        gas_reference_mf=tuple(gas_reference_mf),
+        lut_mf_grids=tuple(lut_mf_grids),
+        shortwave=shortwave,
+        total_solar_irradiance=total_solar_irradiance,
+        band_limits=band_limits,
+        band2gpt=tuple(band2gpt),
+        gpt2band=tuple(int(b) for b in band_number),
+        num_composite_gases=len(composite_tokens),
+        press_min=float(np.exp(log_pressure[0])),
+        press_max=float(np.exp(log_pressure[-1])),
+        temp_min=float(temperature_grid.min()),
+        temp_max=float(temperature_grid.max()),
+    )
