@@ -1,0 +1,106 @@
+"""Shared driver plumbing for the RFMIP CLI entry points.
+
+Mirrors the reference drivers' structure (/root/reference/example/
+rfmip-rad-irf/ecckd_rfmip_lw.F90, ecckd_rfmip_sw.F90, utils.f90) with
+TPU-native execution: one jitted, column-sharded program instead of a serial
+block loop.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Tuple
+
+import jax
+import numpy as np
+
+from ecckd_tpu.gases import GasConcs
+from ecckd_tpu.io.rfmip import RFMIPData, read_rfmip, rfmip_gas_names
+from ecckd_tpu.models.ckd import CKDModel
+from ecckd_tpu.models.loader import load_ckd_model
+from ecckd_tpu.parallel import mesh as pmesh
+
+
+def make_parser(prog: str) -> argparse.ArgumentParser:
+    """CLI compatible with the reference's parse_args (utils.f90:74-134),
+    plus TPU-framework extensions."""
+    p = argparse.ArgumentParser(
+        prog=prog, description="TPU-native ecCKD RFMIP flux driver")
+    p.add_argument("rfmip_file", help="RFMIP input file")
+    p.add_argument("ecckd_file", help="ecckd ckd-definition input file")
+    p.add_argument("-f", dest="forcing_index", type=int, default=1,
+                   choices=(1, 2), help="Forcing index")
+    p.add_argument("-p", dest="physics_index", type=int, default=1,
+                   choices=(1, 2), help="Physics index")
+    p.add_argument("--output-dir", default=".", help="Flux output directory")
+    p.add_argument("--precision", default="f32", choices=("f32", "f64"),
+                   help="Working precision (f64 for Fortran-parity runs)")
+    p.add_argument("--no-shard", action="store_true",
+                   help="Disable column sharding over the device mesh")
+    return p
+
+
+def setup_compilation_cache() -> None:
+    """Persistent XLA compilation cache: repeat driver/bench runs skip the
+    (remote, ~tens of seconds) TPU compile."""
+    import os
+    cache = os.environ.get("ECCKD_TPU_CACHE",
+                           os.path.expanduser("~/.cache/ecckd_tpu_xla"))
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def setup_precision(precision: str) -> np.dtype:
+    setup_compilation_cache()
+    if precision == "f64":
+        jax.config.update("jax_enable_x64", True)
+        return np.dtype(np.float64)
+    return np.dtype(np.float32)
+
+
+def load_inputs(args) -> Tuple[RFMIPData, CKDModel]:
+    data = read_rfmip(args.rfmip_file, args.forcing_index)
+    print(f" Using 1 fused batch of {data.ncol} columns "
+          f"({data.nsite} sites x {data.nexp} experiments)", file=sys.stderr)
+    kdist_names, rfmip_names = rfmip_gas_names(args.forcing_index)
+    print(" Calculation uses RFMIP gases: " + " ".join(rfmip_names),
+          file=sys.stderr)
+    dtype = setup_precision(args.precision)
+    model = load_ckd_model(args.ecckd_file, dtype=dtype)
+    return data, model
+
+
+def build_gas_concs(data: RFMIPData, dtype) -> GasConcs:
+    """Requested-gas list in reference order: the 6 scalar gases, then h2o,
+    o3, no2 (mo_rfmip_io.F90:199-260)."""
+    items = [(name, data.gases_scalar[name].astype(dtype))
+             for name in ("co2", "ch4", "n2o", "o2", "cfc11", "cfc12")]
+    items += [("h2o", data.gases_3d["h2o"].astype(dtype)),
+              ("o3", data.gases_3d["o3"].astype(dtype)),
+              ("no2", data.gases_scalar["no2"].astype(dtype))]
+    return GasConcs.create(items)
+
+
+def place_on_mesh(arrays, use_mesh: bool):
+    """Shard column-axis arrays over all local devices (or leave on the
+    default device)."""
+    if not use_mesh or len(jax.devices()) == 1:
+        return [jax.device_put(np.asarray(a)) for a in arrays], None
+    m = pmesh.make_column_mesh()
+    placed, _ = pmesh.shard_batch(arrays, m)
+    return placed, m
+
+
+class Timer:
+    def __init__(self, label: str):
+        self.label = label
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        dt = time.perf_counter() - self.t0
+        print(f" {self.label}: {dt*1e3:.1f} ms", file=sys.stderr)

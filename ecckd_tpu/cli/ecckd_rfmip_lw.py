@@ -1,0 +1,72 @@
+"""Longwave RFMIP driver.
+
+TPU-native equivalent of the reference ``ecckd_rfmip_lw`` executable
+(/root/reference/example/rfmip-rad-irf/ecckd_rfmip_lw.F90): reads the RFMIP
+atmosphere, computes gas optics + Planck sources, solves longwave fluxes with
+1 or 3 quadrature angles (physics index), writes CMIP-format rlu/rld files.
+
+Unlike the reference (serial loop over 1700 of 1800 one-column blocks,
+ecckd_rfmip_lw.F90:106-107), all columns are computed in one jitted,
+column-sharded program.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import sys
+
+import jax
+import numpy as np
+
+from ecckd_tpu.cli import common
+from ecckd_tpu.io.rfmip import write_fluxes
+from ecckd_tpu.pipeline import clamp_top_pressure, lw_fluxes
+
+
+def main(argv=None) -> int:
+    args = common.make_parser("ecckd_rfmip_lw").parse_args(argv)
+    n_quad_angles = 3 if args.physics_index == 2 else 1
+    print(f" Using forcing index {args.forcing_index} and physics index "
+          f"{args.physics_index}", file=sys.stderr)
+
+    data, model = common.load_inputs(args)
+    if not model.source_is_internal():
+        print("ecckd_rfmip_lw: k-distribution file isn't for longwave.",
+              file=sys.stderr)
+        return 1
+    dtype = model.log_pressure.dtype
+
+    top_at_1 = data.top_at_1
+    plev = clamp_top_pressure(data.plev.astype(dtype), model.get_press_min(),
+                              top_at_1)
+    concs = common.build_gas_concs(data, dtype)
+
+    fn = functools.partial(lw_fluxes, model, n_gauss_angles=n_quad_angles,
+                           top_at_1=top_at_1)
+    jfn = jax.jit(fn)
+    arrays, _ = common.place_on_mesh(
+        [plev, data.tlay.astype(dtype), data.tlev.astype(dtype),
+         data.sfc_t.astype(dtype), data.sfc_emis.astype(dtype)],
+        not args.no_shard)
+    concs_dev = jax.device_put(concs)
+
+    with common.Timer("lw flux solve"):
+        fluxes = jfn(arrays[0], arrays[1], arrays[2], arrays[3], arrays[4],
+                     concs_dev)
+        jax.block_until_ready(fluxes)
+
+    up = np.asarray(fluxes.flux_up)[:data.ncol]
+    dn = np.asarray(fluxes.flux_dn)[:data.ncol]
+    suffix = f"r1i1p{args.physics_index}f{args.forcing_index}_gn.nc"
+    up_path = os.path.join(args.output_dir,
+                           f"rlu_Efx_RTE-ecckd_rad-irf_{suffix}")
+    dn_path = os.path.join(args.output_dir,
+                           f"rld_Efx_RTE-ecckd_rad-irf_{suffix}")
+    write_fluxes(up_path, "rlu", up, data.nsite, data.nexp)
+    write_fluxes(dn_path, "rld", dn, data.nsite, data.nexp)
+    print(f" Wrote {up_path} and {dn_path}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,67 @@
+"""Shortwave RFMIP driver.
+
+TPU-native equivalent of the reference ``ecckd_rfmip_sw`` executable
+(/root/reference/example/rfmip-rad-irf/ecckd_rfmip_sw.F90): gas optics +
+Rayleigh, TSI renormalization, two-stream/adding solve with night-column
+masking, CMIP-format rsu/rsd output.  Note the reference hardcodes physics
+index 1 in the SW output filenames (ecckd_rfmip_sw.F90:56-57); reproduced.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import sys
+
+import jax
+import numpy as np
+
+from ecckd_tpu.cli import common
+from ecckd_tpu.io.rfmip import write_fluxes
+from ecckd_tpu.pipeline import clamp_top_pressure, sw_fluxes
+
+
+def main(argv=None) -> int:
+    args = common.make_parser("ecckd_rfmip_sw").parse_args(argv)
+    print(f" Using forcing index {args.forcing_index} and physics index "
+          f"{args.physics_index}", file=sys.stderr)
+
+    data, model = common.load_inputs(args)
+    if not model.source_is_external():
+        print("ecckd_rfmip_sw: k-distribution file isn't for shortwave.",
+              file=sys.stderr)
+        return 1
+    dtype = model.log_pressure.dtype
+
+    top_at_1 = data.top_at_1
+    plev = clamp_top_pressure(data.plev.astype(dtype), model.get_press_min(),
+                              top_at_1)
+    concs = common.build_gas_concs(data, dtype)
+
+    fn = functools.partial(sw_fluxes, model, top_at_1=top_at_1)
+    jfn = jax.jit(fn)
+    arrays, _ = common.place_on_mesh(
+        [plev, data.tlay.astype(dtype), data.sfc_alb.astype(dtype),
+         data.tsi.astype(dtype), data.sza.astype(dtype)],
+        not args.no_shard)
+    concs_dev = jax.device_put(concs)
+
+    with common.Timer("sw flux solve"):
+        fluxes = jfn(arrays[0], arrays[1], concs_dev, arrays[2], arrays[3],
+                     arrays[4])
+        jax.block_until_ready(fluxes)
+
+    up = np.asarray(fluxes.flux_up)[:data.ncol]
+    dn = np.asarray(fluxes.flux_dn)[:data.ncol]
+    suffix = f"r1i1p1f{args.forcing_index}_gn.nc"
+    up_path = os.path.join(args.output_dir,
+                           f"rsu_Efx_RTE-ecckd_rad-irf_{suffix}")
+    dn_path = os.path.join(args.output_dir,
+                           f"rsd_Efx_RTE-ecckd_rad-irf_{suffix}")
+    write_fluxes(up_path, "rsu", up, data.nsite, data.nexp)
+    write_fluxes(dn_path, "rsd", dn, data.nsite, data.nexp)
+    print(f" Wrote {up_path} and {dn_path}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

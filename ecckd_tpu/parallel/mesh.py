@@ -1,0 +1,78 @@
+"""Device mesh and column sharding.
+
+The physics is column-independent (no cross-column term anywhere in the
+reference, /root/reference/src/gas_optics_ecckd.f90:117-240), so the single
+parallel strategy is *data parallelism over the column axis*: a 1-D named
+mesh ``("columns",)``, every (ncol, ...) array sharded on axis 0, lookup
+tables replicated (they are <= ~3 MB — far below VMEM/HBM concern).  XLA
+inserts no collectives in the flux computation itself; only diagnostics
+(max-error, throughput counters) reduce across devices.
+
+Multi-host: ``jax.distributed.initialize`` + the same NamedSharding spans
+hosts transparently; each host feeds its local shard of columns
+(make_array_from_process_local_data).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+COLUMNS = "columns"
+
+
+def make_column_mesh(devices: Optional[list] = None) -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (COLUMNS,))
+
+
+def column_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for arrays with a leading column axis."""
+    return NamedSharding(mesh, P(COLUMNS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_columns(n: int, n_shards: int) -> int:
+    """Columns must divide evenly over shards; pad with replicated work
+    (cheaper than ragged shards; padded outputs are dropped)."""
+    return (n + n_shards - 1) // n_shards * n_shards
+
+
+def shard_batch(arrays, mesh: Mesh):
+    """Place every array (leading axis = columns) with column sharding.
+
+    Pads the column axis by edge-replication if it does not divide the mesh.
+    Returns (placed_arrays, original_ncol).
+    """
+    spec = column_sharding(mesh)
+    n_dev = mesh.devices.size
+    placed = []
+    ncol = None
+    for a in arrays:
+        a = np.asarray(a)
+        if ncol is None:
+            ncol = a.shape[0]
+        target = pad_columns(a.shape[0], n_dev)
+        if target != a.shape[0]:
+            pad = [(0, target - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            a = np.pad(a, pad, mode="edge")
+        placed.append(jax.device_put(a, spec))
+    return placed, ncol
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host SPMD initialization over ICI/DCN.  No-op when single-host
+    (the common CI / single-chip case)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)

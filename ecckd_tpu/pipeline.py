@@ -1,0 +1,96 @@
+"""End-to-end RFMIP flux pipelines (jit units).
+
+Each function is one fused, jittable program: gas optics -> solver ->
+broadband fluxes.  This is the TPU replacement for the reference drivers'
+serial block loop (/root/reference/example/rfmip-rad-irf/
+ecckd_rfmip_lw.F90:105-136): instead of 1800 blocks of one column, the whole
+column batch is a single SPMD computation whose leading axis can be sharded
+over a device mesh (see parallel/mesh.py).
+
+Driver-level semantics reproduced here:
+* spectrally-constant surface emissivity/albedo expanded per band -> g-point
+  (ecckd_rfmip_lw.F90:112-116, ecckd_rfmip_sw.F90:135-140);
+* SW: TOA flux renormalized to the requested TSI (ecckd_rfmip_sw.F90:125-133),
+  night columns (sza >= 90 - 2*spacing(90)) run with mu0 = 1 and are zeroed
+  afterwards (ecckd_rfmip_sw.F90:103-108,142-145,155-161);
+* the reference's hard-coded 1700-block loop bound is a historical artifact
+  (SURVEY.md section 2.4) — all columns are computed here.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ecckd_tpu.fluxes import FluxesBroadband
+from ecckd_tpu.gases import GasConcs
+from ecckd_tpu.models.ckd import CKDModel
+from ecckd_tpu.models.gas_optics import gas_optics_lw, gas_optics_sw
+from ecckd_tpu.solvers.lw import rte_lw
+from ecckd_tpu.solvers.sw import rte_sw
+
+
+def lw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
+              tlev: jax.Array, tsfc: jax.Array, sfc_emis: jax.Array,
+              gas_concs: GasConcs, n_gauss_angles: int = 1,
+              top_at_1: bool = True) -> FluxesBroadband:
+    """Longwave broadband fluxes for a column batch.
+
+    Args:
+      sfc_emis: spectrally-constant surface emissivity, (ncol,).
+    """
+    props, sources = gas_optics_lw(model, plev, tlay, tsfc, gas_concs, tlev)
+    emis_gpt = jnp.broadcast_to(sfc_emis[:, None],
+                                (tlay.shape[0], model.ngpt)).astype(
+                                    props.tau.dtype)
+    flux_up, flux_dn = rte_lw(props, sources, emis_gpt, top_at_1=top_at_1,
+                              n_gauss_angles=n_gauss_angles)
+    return FluxesBroadband(flux_up=flux_up, flux_dn=flux_dn)
+
+
+def sw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
+              gas_concs: GasConcs, sfc_alb: jax.Array, tsi: jax.Array,
+              sza_deg: jax.Array, top_at_1: bool = True) -> FluxesBroadband:
+    """Shortwave broadband fluxes for a column batch.
+
+    Args:
+      sfc_alb: spectrally-constant surface albedo, (ncol,).
+      tsi: requested total solar irradiance [W m-2], (ncol,).
+      sza_deg: solar zenith angle [degrees], (ncol,).
+    """
+    props, toa_src = gas_optics_sw(model, plev, tlay, gas_concs)
+    dtype = props.tau.dtype
+
+    # Renormalize the incoming solar flux to the requested TSI.
+    def_tsi = jnp.sum(toa_src, axis=-1, keepdims=True)
+    toa_flux = toa_src * (tsi[:, None].astype(dtype) / def_tsi)
+
+    # Night mask: sza >= 90 - 2*spacing(90) in working precision.
+    spacing90 = float(np.spacing(np.asarray(90.0, dtype=dtype)))
+    usecol = sza_deg.astype(dtype) < (90.0 - 2.0 * spacing90)
+    deg_to_rad = jnp.asarray(np.arccos(-1.0) / 180.0, dtype)
+    mu0 = jnp.where(usecol, jnp.cos(sza_deg.astype(dtype) * deg_to_rad), 1.0)
+
+    alb_gpt = jnp.broadcast_to(sfc_alb[:, None],
+                               (tlay.shape[0], model.ngpt)).astype(dtype)
+    flux_up, flux_dn, _ = rte_sw(props, mu0, toa_flux, alb_gpt, alb_gpt,
+                                 top_at_1=top_at_1)
+    mask = usecol[:, None].astype(dtype)
+    return FluxesBroadband(flux_up=flux_up * mask, flux_dn=flux_dn * mask)
+
+
+def clamp_top_pressure(plev: np.ndarray, press_min: float,
+                       top_at_1: bool = True) -> np.ndarray:
+    """Driver-side input sanitizing: the model cannot run below its minimum
+    table pressure, so the top level is set just above it
+    (ecckd_rfmip_lw.F90:87-94)."""
+    plev = np.array(plev, copy=True)
+    eps = np.finfo(plev.dtype).eps if np.issubdtype(plev.dtype, np.floating) \
+        else np.finfo(np.float64).eps
+    if top_at_1:
+        plev[:, 0] = press_min + eps
+    else:
+        plev[:, -1] = press_min + eps
+    return plev

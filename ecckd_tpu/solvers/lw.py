@@ -37,10 +37,12 @@ def _linear_in_tau_sources(tau_slant: jax.Array, trans: jax.Array,
     dtype = tau_slant.dtype
     tau_thresh = jnp.sqrt(jnp.asarray(jnp.finfo(dtype).eps, dtype))
     big = jnp.maximum(tau_slant, tau_thresh)
+    # 1 - trans via expm1: avoids the 1 - exp(-tau) cancellation that would
+    # otherwise amplify rounding error by ~1/tau for optically thin layers.
+    one_m_trans = -jnp.expm1(-tau_slant)
     fact = jnp.where(tau_slant > tau_thresh,
-                     (1.0 - trans) / big - trans,
+                     one_m_trans / big - trans,
                      tau_slant * (0.5 - tau_slant / 3.0))
-    one_m_trans = 1.0 - trans
     source_dn = one_m_trans * lev_source_dn + \
         2.0 * fact * (lay_source - lev_source_dn)
     source_up = one_m_trans * lev_source_up + \

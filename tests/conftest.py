@@ -5,6 +5,7 @@ available in CI, so we force the host platform with 8 virtual devices
 (SURVEY.md section 4).  Must run before the first JAX import.
 """
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -12,7 +13,18 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 
 import jax  # noqa: E402
 
+# The container's sitecustomize registers an 'axon' TPU PJRT plugin at
+# interpreter startup and imports jax before this conftest runs, so the
+# JAX_PLATFORMS env var alone is too late; the config update below forces
+# the local-CPU backend (with 8 virtual devices) as long as no backend has
+# been initialized yet.  Without it, every per-shape compile goes through
+# the remote TPU relay (~20 s each).
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", True)  # match Fortran double precision
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

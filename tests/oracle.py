@@ -165,22 +165,24 @@ def lw_fluxes(tau, lay_source, lev_source_inc, lev_source_dec, sfc_source,
                 rad_dn = np.zeros(nlay + 1)
                 rad_up = np.zeros(nlay + 1)
                 for j in range(nlay):
+                    omt = -np.expm1(-ts[j])
                     if ts[j] > np.sqrt(eps):
-                        fact = (1.0 - trans[j]) / ts[j] - trans[j]
+                        fact = omt / ts[j] - trans[j]
                     else:
                         fact = ts[j] * (0.5 - ts[j] / 3.0)
-                    s_dn = (1.0 - trans[j]) * lev_source_inc[i, j, k] + \
+                    s_dn = omt * lev_source_inc[i, j, k] + \
                         2.0 * fact * (lay_source[i, j, k]
                                       - lev_source_inc[i, j, k])
                     rad_dn[j + 1] = trans[j] * rad_dn[j] + s_dn
                 rad_up[nlay] = sfc_emis_gpt[i, k] * sfc_source[i, k] + \
                     (1.0 - sfc_emis_gpt[i, k]) * rad_dn[nlay]
                 for j in range(nlay - 1, -1, -1):
+                    omt = -np.expm1(-ts[j])
                     if ts[j] > np.sqrt(eps):
-                        fact = (1.0 - trans[j]) / ts[j] - trans[j]
+                        fact = omt / ts[j] - trans[j]
                     else:
                         fact = ts[j] * (0.5 - ts[j] / 3.0)
-                    s_up = (1.0 - trans[j]) * lev_source_dec[i, j, k] + \
+                    s_up = omt * lev_source_dec[i, j, k] + \
                         2.0 * fact * (lay_source[i, j, k]
                                       - lev_source_dec[i, j, k])
                     rad_up[j] = trans[j] * rad_up[j + 1] + s_up
