@@ -72,10 +72,12 @@ def run_bench(mode: str) -> None:
     sw = load_ckd_model(SW_FILE, dtype=dtype)
     b = _build(ncol, nlay, dtype)
 
+    chunk = int(os.environ.get("ECCKD_BENCH_CHUNK", "8192"))
     lw_step = jax.jit(lambda plev, tlay, tlev, tsfc, emis, concs: lw_fluxes(
-        lw, plev, tlay, tlev, tsfc, emis, concs, n_gauss_angles=1))
+        lw, plev, tlay, tlev, tsfc, emis, concs, n_gauss_angles=1,
+        column_chunk=chunk))
     sw_step = jax.jit(lambda plev, tlay, concs, alb, tsi, sza: sw_fluxes(
-        sw, plev, tlay, concs, alb, tsi, sza))
+        sw, plev, tlay, concs, alb, tsi, sza, column_chunk=chunk))
 
     args = {k: jax.device_put(v) for k, v in b.items() if k != "concs"}
     concs = jax.device_put(b["concs"])

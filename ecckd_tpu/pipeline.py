@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax import lax
+
 from ecckd_tpu.fluxes import FluxesBroadband
 from ecckd_tpu.gases import GasConcs
 from ecckd_tpu.models.ckd import CKDModel
@@ -32,15 +34,62 @@ from ecckd_tpu.solvers.lw import rte_lw
 from ecckd_tpu.solvers.sw import rte_sw
 
 
+def map_over_column_chunks(fn, args, ncol: int, chunk: int):
+    """Evaluate ``fn(*args)`` in column chunks of size ``chunk`` via lax.map.
+
+    Radiative transfer is embarrassingly parallel over columns but its
+    intermediates (per-gas gathered coefficients, per-angle transmittances,
+    two-stream R/T) are O(ncol * nlay * ngpt * n_intermediates); one fused
+    batch of ~10^5 columns exceeds a v5e's HBM.  Chunking bounds peak memory
+    at O(chunk) while the sequential chunk loop keeps the chip busy — the
+    standard microbatching pattern.
+
+    Every pytree leaf of ``args`` whose leading axis equals ``ncol`` is
+    mapped; everything else (scalars, tables) is closed over.  ``ncol`` must
+    be divisible by ``chunk`` (callers pad; see parallel.mesh.shard_batch).
+    """
+    if ncol <= chunk:
+        return fn(*args)
+    if ncol % chunk:
+        raise ValueError(f"ncol={ncol} not divisible by chunk={chunk}")
+    n_chunks = ncol // chunk
+    flat, treedef = jax.tree_util.tree_flatten(args)
+    mapped_idx = [i for i, x in enumerate(flat)
+                  if hasattr(x, "ndim") and x.ndim >= 1
+                  and x.shape[0] == ncol]
+    mapped = [flat[i].reshape(n_chunks, chunk, *flat[i].shape[1:])
+              for i in mapped_idx]
+
+    def body(mapped_leaves):
+        full = list(flat)
+        for i, leaf in zip(mapped_idx, mapped_leaves):
+            full[i] = leaf
+        return fn(*jax.tree_util.tree_unflatten(treedef, full))
+
+    out = lax.map(body, mapped)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape(ncol, *x.shape[2:]), out)
+
+
 def lw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
               tlev: jax.Array, tsfc: jax.Array, sfc_emis: jax.Array,
               gas_concs: GasConcs, n_gauss_angles: int = 1,
-              top_at_1: bool = True) -> FluxesBroadband:
+              top_at_1: bool = True,
+              column_chunk: int | None = None) -> FluxesBroadband:
     """Longwave broadband fluxes for a column batch.
 
     Args:
       sfc_emis: spectrally-constant surface emissivity, (ncol,).
+      column_chunk: optional microbatch size bounding peak device memory
+        (see map_over_column_chunks).
     """
+    if column_chunk is not None and tlay.shape[0] > column_chunk:
+        fn = lambda p, tl, tv, ts, e, c: lw_fluxes(
+            model, p, tl, tv, ts, e, c, n_gauss_angles=n_gauss_angles,
+            top_at_1=top_at_1)
+        return map_over_column_chunks(
+            fn, (plev, tlay, tlev, tsfc, sfc_emis, gas_concs),
+            tlay.shape[0], column_chunk)
     props, sources = gas_optics_lw(model, plev, tlay, tsfc, gas_concs, tlev)
     emis_gpt = jnp.broadcast_to(sfc_emis[:, None],
                                 (tlay.shape[0], model.ngpt)).astype(
@@ -52,14 +101,22 @@ def lw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
 
 def sw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
               gas_concs: GasConcs, sfc_alb: jax.Array, tsi: jax.Array,
-              sza_deg: jax.Array, top_at_1: bool = True) -> FluxesBroadband:
+              sza_deg: jax.Array, top_at_1: bool = True,
+              column_chunk: int | None = None) -> FluxesBroadband:
     """Shortwave broadband fluxes for a column batch.
 
     Args:
       sfc_alb: spectrally-constant surface albedo, (ncol,).
       tsi: requested total solar irradiance [W m-2], (ncol,).
       sza_deg: solar zenith angle [degrees], (ncol,).
+      column_chunk: optional microbatch size bounding peak device memory.
     """
+    if column_chunk is not None and tlay.shape[0] > column_chunk:
+        fn = lambda p, tl, c, a, t, s: sw_fluxes(
+            model, p, tl, c, a, t, s, top_at_1=top_at_1)
+        return map_over_column_chunks(
+            fn, (plev, tlay, gas_concs, sfc_alb, tsi, sza_deg),
+            tlay.shape[0], column_chunk)
     props, toa_src = gas_optics_sw(model, plev, tlay, gas_concs)
     dtype = props.tau.dtype
 

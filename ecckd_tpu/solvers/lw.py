@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ecckd_tpu.optics import OpticalProps1scl, SourceFuncLW
 from ecckd_tpu.solvers.quadrature import gauss_angles
-from ecckd_tpu.solvers.scan import affine_scan, affine_scan_reverse
+from ecckd_tpu.solvers.scan import affine_sweep_broadband
 
 TWO_PI = 6.28318530718
 
@@ -103,16 +103,18 @@ def rte_lw(optical_props: OpticalProps1scl, sources: SourceFuncLW,
             tau_slant, trans, lay, lev_inc, lev_dec)
 
         # Downward sweep: I[0] = top incidence; I[j+1] = t_j I[j] + s_j.
-        rad_dn = affine_scan(trans, source_dn, zero_top, axis=1)
+        dn_levels, rad_dn_sfc = affine_sweep_broadband(
+            trans, source_dn, zero_top)
         # Surface: emission + isotropic reflection of this angle's incidence.
         rad_sfc = (sfc_emis_gpt * sources.sfc_source
-                   + (1.0 - sfc_emis_gpt) * rad_dn[:, -1, :])
+                   + (1.0 - sfc_emis_gpt) * rad_dn_sfc)
         # Upward sweep: I[nlay] = surface; I[j] = t_j I[j+1] + s_j.
-        rad_up = affine_scan_reverse(trans, source_up, rad_sfc, axis=1)
+        up_levels, _ = affine_sweep_broadband(
+            trans, source_up, rad_sfc, reverse=True)
 
         w = jnp.asarray(TWO_PI * weight, dtype)
-        flux_dn = flux_dn + w * jnp.sum(rad_dn, axis=-1)
-        flux_up = flux_up + w * jnp.sum(rad_up, axis=-1)
+        flux_dn = flux_dn + w * dn_levels
+        flux_up = flux_up + w * up_levels
 
     if not top_at_1:
         flux_up = jnp.flip(flux_up, axis=1)

@@ -90,18 +90,29 @@ def rte_sw(optical_props: OpticalProps2str, mu0: jax.Array,
     denom = jnp.flip(jnp.moveaxis(denom_rev, 0, 1), axis=1)  # (ncol,nlay,ngpt)
 
     # Downward diffuse: affine recurrence
-    # F[j+1] = (Tdif_j F[j] + Rdif_j src[j+1] + src_dn_j) * denom_j.
+    # F[j+1] = (Tdif_j F[j] + Rdif_j src[j+1] + src_dn_j) * denom_j,
+    # with the broadband reduction fused into the sweep (per-level per-g-point
+    # flux cubes are never materialized) and the upward flux
+    # up[j] = F[j] * albedo[j] + src[j] emitted in the same pass.
     a = ts.t_dif * denom
     b = (ts.r_dif * src[:, 1:, :] + src_dn) * denom
     dn_top = jnp.zeros_like(flux_dir_top)  # no diffuse incidence at TOA
-    flux_dn_dif = affine_scan(a, b, dn_top, axis=1)
 
-    flux_up_gpt = flux_dn_dif * albedo + src
-    flux_dn_gpt = flux_dn_dif + flux_dir
+    def dn_step(dn, xs):
+        ai, bi, albedo_next, src_next = xs
+        dn_next = ai * dn + bi
+        up_next = dn_next * albedo_next + src_next
+        return dn_next, (jnp.sum(dn_next, -1), jnp.sum(up_next, -1))
 
-    flux_up = jnp.sum(flux_up_gpt, axis=-1)
-    flux_dn = jnp.sum(flux_dn_gpt, axis=-1)
+    xs = tuple(jnp.moveaxis(x, 1, 0)
+               for x in (a, b, albedo[:, 1:, :], src[:, 1:, :]))
+    _, (dn_sums, up_sums) = lax.scan(dn_step, dn_top, xs)
+    up_top = jnp.sum(dn_top * albedo[:, 0, :] + src[:, 0, :], -1)[:, None]
+    dn0 = jnp.zeros_like(up_top)
+    flux_dn_dif = jnp.concatenate([dn0, jnp.moveaxis(dn_sums, 0, 1)], axis=1)
+    flux_up = jnp.concatenate([up_top, jnp.moveaxis(up_sums, 0, 1)], axis=1)
     flux_dn_direct = jnp.sum(flux_dir, axis=-1)
+    flux_dn = flux_dn_dif + flux_dn_direct
     if not top_at_1:
         flux_up = jnp.flip(flux_up, axis=1)
         flux_dn = jnp.flip(flux_dn, axis=1)
