@@ -81,6 +81,10 @@ class CKDModel:
     press_max: float = dataclasses.field(metadata=dict(static=True))
     temp_min: float = dataclasses.field(metadata=dict(static=True))
     temp_max: float = dataclasses.field(metadata=dict(static=True))
+    tables_nonneg: bool = dataclasses.field(default=True,
+                                            metadata=dict(static=True))
+    """True if every coefficient table entry is >= 0 (checked at load);
+    precondition for the fused Pallas gas-optics path (ops/pallas/plan.py)."""
 
     # --- API parity with ty_gas_optics_ecckd ------------------------------
     # (gas_optics_ecckd.f90:477-553)

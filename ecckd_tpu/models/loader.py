@@ -194,4 +194,7 @@ def _build_model(f, dtype) -> CKDModel:
         press_max=float(np.exp(log_pressure[-1])),
         temp_min=float(temperature_grid.min()),
         temp_max=float(temperature_grid.max()),
+        tables_nonneg=bool(
+            min([t.min() for t in dense_tables]
+                + [t.min() for t in lut_tables]) >= 0.0),
     )

@@ -1,0 +1,195 @@
+"""Shared in-kernel helpers for the fused Pallas TPU kernels.
+
+Everything here runs *inside* a Pallas kernel body on (sublane, lane) =
+(grid/g-point, column) shaped tiles.  The interpolation strategy replaces
+gathers (which TPUs lack) with one-hot contractions on the MXU:
+
+  coeff(gpt, col) = table_t(gpt, p*n_t + t) @ onehot(p*n_t + t, col)
+
+where the one-hot matrix carries the bi-linear interpolation weights of the
+reference kernel (/root/reference/src/gas_optics_ecckd.f90:117-163) — at
+most four non-zeros per column.  Index arithmetic (clamped fractional
+indices) matches ops/interp.py bit-for-bit.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+def frac_index(raw: jax.Array, n: int, clamp: float = 1.0001
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Clamped fractional index on a uniform grid (0-based):
+    i0 in [0, n-2], w1 = idx - i0 (see ops/interp.py)."""
+    idx = jnp.clip(raw, 0.0, n - clamp)
+    i0 = jnp.floor(idx).astype(I32)
+    return i0, idx - i0
+
+
+def pair_onehot(n_rows: int, i0: jax.Array, w1: jax.Array) -> jax.Array:
+    """(n_rows, C) matrix with (1-w1) at row i0 and w1 at row i0+1 per
+    column; i0/w1 are (1, C)."""
+    iota = jax.lax.broadcasted_iota(I32, (n_rows, 1), 0)
+    zero = jnp.zeros((), w1.dtype)
+    return (jnp.where(iota == i0, 1.0 - w1, zero)
+            + jnp.where(iota == i0 + 1, w1, zero))
+
+
+def pt_onehot(npt_pad: int, n_t: int, i0p: jax.Array, wp1: jax.Array,
+              i0t: jax.Array, wt1: jax.Array) -> jax.Array:
+    """(npt_pad, C) bi-linear one-hot over the flattened (pressure,
+    temperature) grid: row p*n_t + t gets wp(p) * wt(t)."""
+    iota = jax.lax.broadcasted_iota(I32, (npt_pad, 1), 0)
+    pid = iota // n_t
+    tid = iota - pid * n_t
+    zero = jnp.zeros((), wp1.dtype)
+    ohp = (jnp.where(pid == i0p, 1.0 - wp1, zero)
+           + jnp.where(pid == i0p + 1, wp1, zero))
+    oht = (jnp.where(tid == i0t, 1.0 - wt1, zero)
+           + jnp.where(tid == i0t + 1, wt1, zero))
+    return ohp * oht
+
+
+_LOG2E = 1.4426950408889634
+_LN2_HI = 0.693359375            # exact in f32, ln2 split for exact reduction
+_LN2_LO = -2.12194440e-4
+
+
+def exp_accurate(x: jax.Array) -> jax.Array:
+    """float32 exp to ~1-2 ulp inside a Mosaic kernel.
+
+    Mosaic lowers jnp.exp to the VPU's fast approximation (~5e-6 relative
+    error); compounded over a 60-layer transmittance sweep that costs
+    ~3e-4 in broadband flux.  Standard fix: range-reduce with a two-part
+    ln2 (exact in f32), evaluate a degree-6 Taylor polynomial on
+    r in [-ln2/2, ln2/2], and apply 2**n by integer exponent construction.
+    Valid for x <= ~80 (flushes to 0 below x < -87; the radiative-transfer
+    kernels only call it with x <= 0).
+    """
+    n = jnp.floor(x * F32(_LOG2E) + F32(0.5))
+    nc = jnp.clip(n, -126.0, 127.0)
+    r = (x - nc * F32(_LN2_HI)) - nc * F32(_LN2_LO)
+    # exp(r), |r| <= ln2/2 + 1ulp: Taylor to r^6 (max term ~ 2e-9).
+    p = F32(1.0 / 720.0)
+    for c in (1.0 / 120.0, 1.0 / 24.0, 1.0 / 6.0, 0.5, 1.0, 1.0):
+        p = p * r + F32(c)
+    scale = pltpu_bitcast((nc.astype(jnp.int32) + 127) << 23, F32)
+    out = p * scale
+    return jnp.where(x < -87.0, 0.0, out)
+
+
+def pltpu_bitcast(x, dtype):
+    """Bitcast that works both in Mosaic and in interpret/CPU mode."""
+    return jax.lax.bitcast_convert_type(x, dtype)
+
+
+def matmul_f32(a: jax.Array, b: jax.Array) -> jax.Array:
+    """MXU contraction at float32-accurate precision."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=F32)
+
+
+def pressure_temperature_index(log_p, t_lay, t_first_ref, log_p0, inv_dlogp,
+                               inv_dt, n_p, n_t):
+    """Per-column interpolation points for one layer.
+
+    Args:
+      log_p: (1, C) ln of the layer pressure — precomputed OUTSIDE the
+        kernel: Mosaic's in-kernel log is a fast approximation with ~3e-4
+        relative error, which would smear the table indices.
+      t_lay: (1, C) layer temperature.
+      t_first_ref: (n_p_pad, 1) first temperature-grid column.
+    Returns:
+      i0p, wp1, i0t, wt1 each (1, C).
+    """
+    i0p, wp1 = frac_index((log_p - log_p0) * inv_dlogp, n_p)
+    # Pressure-dependent temperature origin (gas_optics_ecckd.f90:131-132).
+    ohp = pair_onehot(t_first_ref.shape[0], i0p, wp1)
+    t0 = jnp.sum(ohp * t_first_ref, axis=0, keepdims=True)
+    i0t, wt1 = frac_index((t_lay - t0) * inv_dt, n_t)
+    return i0p, wp1, i0t, wt1
+
+
+def gas_tau_layer(j, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
+                  table_ref, log_p0, inv_dlogp, inv_dt, log_mf0, inv_dlogv,
+                  plan, mpp):
+    """Total gas optical depth of layer ``j`` for one column tile.
+
+    The fused equivalent of the reference per-gas loop
+    (gas_optics_ecckd.f90:323-376): one MXU contraction against the stacked
+    table, then a static per-slice weighted accumulation on the VPU with the
+    non-negativity clamp applied to the weights (valid because every table
+    is non-negative; see ops/pallas/plan.py).
+
+    ``logp_ref`` (nlay, C) holds ln(layer pressure) and ``vmr_ref``'s LUT
+    log-rows hold ln(max(vmr, mf0)) — both precomputed outside the kernel
+    because Mosaic's log approximation (~3e-4 rel) is too coarse for index
+    arithmetic.  ``dp_ref`` (nlay, C) holds the level-pressure differences.
+
+    Returns (tau_j (NG, C), d_p (1, C)).
+    """
+    import jax.experimental.pallas as pl  # local to keep module importable
+
+    ng, npt = plan.ng_pad, plan.npt_pad
+    log_p = logp_ref[pl.ds(j, 1), :]
+    d_p = dp_ref[pl.ds(j, 1), :]
+    t_lay = tlay_ref[pl.ds(j, 1), :]
+    i0p, wp1, i0t, wt1 = pressure_temperature_index(
+        log_p, t_lay, t_first_ref[...], log_p0, inv_dlogp, inv_dt,
+        plan.n_p, plan.n_t)
+    oh = pt_onehot(npt, plan.n_t, i0p, wp1, i0t, wt1)
+    coeff = matmul_f32(table_ref[...], oh)          # (K, C)
+    sw = mpp * d_p
+
+    n_lut = plan.lut_sizes[0] if plan.lut_sizes else 0
+    h2o_slot = next((s.vmr_slot for s in plan.slices if s.kind == "lut"), -1)
+    if h2o_slot >= 0:
+        log_slot = plan.lut_log_slots[0]
+        vmr_h2o = vmr_ref[h2o_slot, j, :][None, :]
+        lv = vmr_ref[log_slot, j, :][None, :]
+        i0v, wv1 = frac_index((lv - log_mf0) * inv_dlogv, n_lut, clamp=1.001)
+        w_h2o = sw * vmr_h2o
+
+    tau_j = jnp.zeros((ng, coeff.shape[1]), F32)
+    for s, sl in enumerate(plan.slices):
+        block = coeff[s * ng:(s + 1) * ng, :]
+        if sl.kind == "dense":
+            if sl.vmr_slot >= 0:
+                vm = vmr_ref[sl.vmr_slot, j, :][None, :]
+                w = sw * (F32(sl.a) * vm + F32(sl.b))
+            else:
+                w = sw * F32(sl.b)
+            # Non-negative tables turn the per-g-point clamp
+            # (gas_optics_ecckd.f90:234-238) into a weight clamp.
+            w = jnp.maximum(w, 0.0)
+        else:
+            v = sl.lut_index
+            wv = (jnp.where(i0v == v, 1.0 - wv1, 0.0)
+                  + jnp.where(i0v + 1 == v, wv1, 0.0))
+            w = w_h2o * wv
+        tau_j += w * block
+    return tau_j, d_p
+
+
+def planck_eval(t_row, planck_t_ref, planck_row0_ref, t0, inv_dt, n_planck,
+                npl_pad, inv_pi):
+    """Planck intensity (NG, C) for temperatures t_row (1, C).
+
+    Mirrors ops/planck.py: linear interp with top-end linear extrapolation
+    (w1 > 1 allowed), below-grid scaling B = (T/T0) * row0, and the final
+    division by pi (gas_optics_ecckd.f90:245-289).
+    """
+    idx = (t_row - t0) * inv_dt
+    i0 = jnp.clip(jnp.floor(idx), 0.0, n_planck - 2.0).astype(I32)
+    w1 = idx - i0.astype(idx.dtype)
+    oh = pair_onehot(npl_pad, i0, w1)
+    interp = matmul_f32(planck_t_ref[...], oh)
+    below = (t_row / t0) * planck_row0_ref[...]
+    return jnp.where(idx >= 0.0, interp, below) * inv_pi

@@ -1,0 +1,235 @@
+"""Fused longwave mega-kernel: gas optics + Planck sources + flux solve.
+
+One Pallas kernel per 128-column tile does everything the reference chain
+does per column block — ecCKD interpolation
+(/root/reference/src/gas_optics_ecckd.f90:64-241), Planck sources (:245-289)
+and the rte_lw no-scattering quadrature solve (SURVEY.md section 2.3) — with
+zero HBM intermediates: the (nlay, ngpt, 128) optical-depth / source cubes
+live in VMEM scratch, interpolation runs as one-hot MXU contractions
+(ops/pallas/common.py), and the up/down sweeps emit g-point-summed broadband
+fluxes directly.
+
+Layout: (g-point, column) = (sublane, lane) tiles — columns fill all 128
+vector lanes, so no op pays the ~4x lane-padding tax of a g-point-minor
+layout.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ecckd_tpu import constants
+from ecckd_tpu.gases import GasConcs
+from ecckd_tpu.models.ckd import CKDModel
+from ecckd_tpu.ops.pallas import common, plan as plan_mod
+from ecckd_tpu.solvers.quadrature import gauss_angles
+
+COL_TILE = 128
+F32 = jnp.float32
+
+# params SMEM layout
+P_LOG_P0, P_INV_DLOGP, P_INV_DT, P_PLANCK_T0, P_INV_PLANCK_DT, \
+    P_LOG_MF0, P_INV_DLOGV, P_NPARAMS = range(8)
+
+
+def _lw_kernel(params_ref, t_first_ref, table_ref, planck_t_ref,
+               planck_row0_ref, logp_ref, dp_ref, tlay_ref, tlev_ref,
+               tsfc_ref, emis_ref, vmr_ref, up_ref, dn_ref,
+               tau_s, play_s, plevs_s, trans_s, srcup_s, *,
+               plan: plan_mod.GasOpticsPlan, nlay: int, n_planck: int,
+               npl_pad: int, secants: Tuple[float, ...],
+               weights: Tuple[float, ...]):
+    log_p0 = params_ref[P_LOG_P0]
+    inv_dlogp = params_ref[P_INV_DLOGP]
+    inv_dt = params_ref[P_INV_DT]
+    planck_t0 = params_ref[P_PLANCK_T0]
+    inv_planck_dt = params_ref[P_INV_PLANCK_DT]
+    log_mf0 = params_ref[P_LOG_MF0]
+    inv_dlogv = params_ref[P_INV_DLOGV]
+    mpp = F32(constants.MOLES_PER_PA)
+    inv_pi = F32(1.0 / constants.PI)
+
+    planck = functools.partial(
+        common.planck_eval, planck_t_ref=planck_t_ref,
+        planck_row0_ref=planck_row0_ref, t0=planck_t0, inv_dt=inv_planck_dt,
+        n_planck=n_planck, npl_pad=npl_pad, inv_pi=inv_pi)
+
+    def layer_optics(j, _):
+        tau_j, _dp = common.gas_tau_layer(
+            j, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref, table_ref,
+            log_p0, inv_dlogp, inv_dt, log_mf0, inv_dlogv, plan, mpp)
+        tau_s[j] = tau_j
+        play_s[j] = planck(tlay_ref[pl.ds(j, 1), :])
+        return 0
+
+    jax.lax.fori_loop(0, nlay, layer_optics, 0, unroll=False)
+
+    def level_planck(j, _):
+        plevs_s[j] = planck(tlev_ref[pl.ds(j, 1), :])
+        return 0
+
+    jax.lax.fori_loop(0, nlay + 1, level_planck, 0, unroll=False)
+    sfc_src = planck(tsfc_ref[...])
+
+    up_ref[...] = jnp.zeros_like(up_ref)
+    dn_ref[...] = jnp.zeros_like(dn_ref)
+    emis = emis_ref[...]
+    thresh = F32(float(np.sqrt(np.finfo(np.float32).eps)))
+
+    for secant, weight in zip(secants, weights):
+        sec = F32(secant)
+        w2pi = F32(2.0 * constants.PI * weight)
+
+        def down_body(j, rad):
+            ts = tau_s[j] * sec
+            tr = common.exp_accurate(-ts)
+            trans_s[j] = tr
+            omt = 1.0 - tr
+            lay = play_s[j]
+            lev_inc = plevs_s[j + 1]
+            lev_dec = plevs_s[j]
+            fact = jnp.where(ts > thresh,
+                             omt / jnp.maximum(ts, thresh) - tr,
+                             ts * (0.5 - ts * (1.0 / 3.0)))
+            src_dn = omt * lev_inc + 2.0 * fact * (lay - lev_inc)
+            srcup_s[j] = omt * lev_dec + 2.0 * fact * (lay - lev_dec)
+            rad = tr * rad + src_dn
+            dn_ref[pl.ds(j + 1, 1), :] += w2pi * jnp.sum(
+                rad, axis=0, keepdims=True)
+            return rad
+
+        rad_top = jnp.zeros_like(sfc_src)
+        rad_sfc_dn = jax.lax.fori_loop(0, nlay, down_body, rad_top,
+                                       unroll=False)
+        rad = emis * sfc_src + (1.0 - emis) * rad_sfc_dn
+        up_ref[pl.ds(nlay, 1), :] += w2pi * jnp.sum(rad, axis=0,
+                                                    keepdims=True)
+
+        def up_body(k, rad):
+            j = nlay - 1 - k
+            rad = trans_s[j] * rad + srcup_s[j]
+            up_ref[pl.ds(j, 1), :] += w2pi * jnp.sum(rad, axis=0,
+                                                     keepdims=True)
+            return rad
+
+        jax.lax.fori_loop(0, nlay, up_body, rad, unroll=False)
+
+
+def _pad_cols(x: jax.Array, ncol_pad: int) -> jax.Array:
+    """Edge-pad the trailing (column) axis so padded columns hold valid
+    physics (no log(0)/NaN) and are simply sliced away afterwards."""
+    pad = ncol_pad - x.shape[-1]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, cfg, mode="edge")
+
+
+def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
+                    tlev: jax.Array, tsfc: jax.Array, emis_gpt: jax.Array,
+                    gas_concs: GasConcs, n_gauss_angles: int = 1,
+                    interpret: bool = False
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Broadband LW fluxes via the fused kernel (top_at_1 orientation).
+
+    Args mirror pipeline.lw_fluxes but with per-g-point emissivity
+    (ncol, ngpt).  Returns (flux_up, flux_dn), each (ncol, nlay+1).
+    """
+    ncol, nlay = tlay.shape
+    p = plan_mod.build_plan(model, gas_concs.names)
+    if not p.fused_ok:
+        raise ValueError("fused path invalid for this model (negative "
+                         "table entries); use the XLA path")
+    ng, npt = p.ng_pad, p.npt_pad
+    n_planck = int(model.planck_function.shape[0])
+    npl_pad = ((n_planck + 7) // 8) * 8
+    n_p_pad = ((p.n_p + 7) // 8) * 8
+
+    table = plan_mod.stacked_table(model, p, gas_concs.names, F32)
+    vmrs = plan_mod.stacked_vmrs(p, gas_concs, ncol, nlay, F32)
+    if vmrs is None:
+        vmrs = jnp.zeros((1, nlay, ncol), F32)
+
+    lp = model.log_pressure.astype(F32)
+    tg = model.temperature_grid.astype(F32)
+    pt = model.planck_temperature.astype(F32)
+    params = jnp.stack([
+        lp[0], 1.0 / (lp[1] - lp[0]),
+        1.0 / (tg[0, 1] - tg[0, 0]), pt[0], 1.0 / (pt[1] - pt[0]),
+        jnp.asarray(p.lut_log_mf0[0] if p.lut_log_mf0 else 0.0, F32),
+        jnp.asarray(p.lut_inv_dlog[0] if p.lut_inv_dlog else 0.0, F32),
+        jnp.zeros((), F32)])
+
+    t_first = jnp.zeros((n_p_pad, 1), F32).at[:p.n_p, 0].set(tg[:, 0])
+    pf = model.planck_function.astype(F32)   # (n_planck, ngpt)
+    planck_t = jnp.zeros((ng, npl_pad), F32).at[:model.ngpt, :n_planck].set(
+        pf.T)
+    planck_row0 = jnp.zeros((ng, 1), F32).at[:model.ngpt, 0].set(pf[0])
+
+    ncol_pad = ((ncol + COL_TILE - 1) // COL_TILE) * COL_TILE
+    logp_t = _pad_cols(
+        jnp.log(0.5 * (plev[:, 1:] + plev[:, :-1])).astype(F32).T, ncol_pad)
+    dp_t = _pad_cols((plev[:, 1:] - plev[:, :-1]).astype(F32).T, ncol_pad)
+    tlay_t = _pad_cols(tlay.astype(F32).T, ncol_pad)
+    tlev_t = _pad_cols(tlev.astype(F32).T, ncol_pad)
+    tsfc_t = _pad_cols(tsfc.astype(F32)[None, :], ncol_pad)
+    emis_t = _pad_cols(
+        jnp.zeros((ng, ncol), F32).at[:model.ngpt].set(
+            emis_gpt.astype(F32).T), ncol_pad)
+    vmr_t = _pad_cols(vmrs, ncol_pad)
+
+    secants, weights = gauss_angles(n_gauss_angles)
+    kernel = functools.partial(
+        _lw_kernel, plan=p, nlay=nlay, n_planck=n_planck, npl_pad=npl_pad,
+        secants=tuple(secants), weights=tuple(weights))
+
+    nlev = nlay + 1
+    n_vmr = vmr_t.shape[0]
+    rep2 = lambda i: (0, 0)
+    rep3 = lambda i: (0, 0, 0)
+    col2 = lambda i: (0, i)
+    grid = (ncol_pad // COL_TILE,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_p_pad, 1), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(table.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, npl_pad), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, 1), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nlay, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nlay, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nlay, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nlev, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_vmr, nlay, COL_TILE), rep3,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nlev, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nlev, COL_TILE), col2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nlev, ncol_pad), F32),
+            jax.ShapeDtypeStruct((nlev, ncol_pad), F32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # tau
+            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # planck lay
+            pltpu.VMEM((nlev, ng, COL_TILE), F32),   # planck lev
+            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # trans
+            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # src up
+        ],
+        interpret=interpret,
+    )(params, t_first, table, planck_t, planck_row0, logp_t, dp_t, tlay_t,
+      tlev_t, tsfc_t, emis_t, vmr_t)
+    flux_up, flux_dn = out
+    return flux_up[:, :ncol].T, flux_dn[:, :ncol].T

@@ -1,0 +1,173 @@
+"""Trace-time gas-optics plan for the fused Pallas kernels.
+
+The reference's per-gas interpolation loop
+(/root/reference/src/gas_optics_ecckd.f90:323-376) becomes, on TPU, a single
+MXU contraction per (layer, column-tile): a one-hot interpolation matrix over
+the flattened (pressure, temperature) grid multiplied into one *stacked*
+coefficient table whose rows hold every contributing table slice —
+
+  * one ngpt-row slice per dense (bi-linear) gas, in requested order,
+  * one ngpt-row slice per mole-fraction grid point of each LUT gas (h2o),
+    so the tri-linear vmr interpolation becomes a per-column weighted sum of
+    pre-contracted slices on the VPU.
+
+Validity note: the per-g-point negative-optical-depth clamp
+(gas_optics_ecckd.f90:234-238) is implemented as a clamp on the per-column
+*weight* (``max(w, 0)``).  The two are equivalent iff every coefficient in
+the gas's table is non-negative — true for all three shipped ckd files
+(verified at load; see ``table_nonneg``).  A gas with a negative table entry
+is excluded from the fused path and the caller falls back to the XLA path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ecckd_tpu import constants
+from ecckd_tpu.gases import GasConcs
+from ecckd_tpu.models.ckd import CKDModel
+from ecckd_tpu.ops.optical_depth import resolve_contributions
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class SlicePlan:
+    """One ngpt-row block of the stacked table."""
+    kind: str              # "dense" | "lut"
+    vmr_slot: int          # row into the stacked vmr array, or -1 (composite)
+    a: float               # weight = simple_weight * max(a*vmr + b, 0)
+    b: float
+    lut_index: int = -1    # mole-fraction slice index for kind == "lut"
+
+
+@dataclasses.dataclass(frozen=True)
+class GasOpticsPlan:
+    """Static structure + stacked arrays consumed by the fused kernels.
+
+    Array shapes (NG = ngpt padded to a multiple of 8, NPT = n_p * n_t
+    padded to a multiple of 8):
+      table_t   (n_slices * NG, NPT)   stacked transposed tables
+      vmrs      (n_vmr, nlay, ncol)    per-profile-gas vmr (built per call)
+    """
+    slices: Tuple[SlicePlan, ...]
+    vmr_names: Tuple[str, ...]
+    ngpt: int
+    ng_pad: int
+    npt_pad: int
+    n_p: int
+    n_t: int
+    lut_sizes: Tuple[int, ...]    # per-LUT-gas mole-fraction axis length
+    lut_log_mf0: Tuple[float, ...]
+    lut_inv_dlog: Tuple[float, ...]
+    lut_log_slots: Tuple[int, ...]
+    """Per-LUT-gas row in the stacked vmr array holding ln(max(vmr, mf0)),
+    precomputed host-side (Mosaic's in-kernel log is too approximate)."""
+    fused_ok: bool                # False -> caller must use the XLA path
+
+
+def table_nonneg(model: CKDModel) -> bool:
+    """True if every coefficient table is non-negative.  Computed by the
+    loader on the host arrays and carried as static metadata, so the check
+    is usable under jit tracing."""
+    return model.tables_nonneg
+
+
+def build_plan(model: CKDModel, gas_names: Tuple[str, ...]) -> GasOpticsPlan:
+    """Resolve the requested-gas set (reference semantics: order kept,
+    unknown skipped, composite once) into a fused-kernel plan."""
+    contributions = resolve_contributions(model, gas_names)
+    n_p = int(model.log_pressure.shape[0])
+    n_t = int(model.temperature_grid.shape[1])
+    ngpt = model.ngpt
+    ng_pad = _round_up(ngpt, 8)
+    npt_pad = _round_up(n_p * n_t, 8)
+
+    slices: List[SlicePlan] = []
+    vmr_names: List[str] = []
+    lut_sizes: List[int] = []
+    lut_log_mf0: List[float] = []
+    lut_inv_dlog: List[float] = []
+    lut_names: List[str] = []
+
+    def vmr_slot(name: str) -> int:
+        if name not in vmr_names:
+            vmr_names.append(name)
+        return vmr_names.index(name)
+
+    for c in contributions:
+        gi = c.gas_index
+        code = model.gas_codes[gi]
+        if code == constants.CONC_LUT:
+            grid = model.lut_mf_grids[model.gas_table_idx[gi]]
+            lut_sizes.append(len(grid))
+            lut_log_mf0.append(float(np.log(grid[0])))
+            lut_inv_dlog.append(float(1.0 / np.log(grid[1] / grid[0])))
+            lut_names.append(c.name)
+            slot = vmr_slot(c.name)
+            for v in range(len(grid)):
+                slices.append(SlicePlan("lut", slot, 1.0, 0.0, lut_index=v))
+        else:
+            a, b = model.weight_scale_offset(gi)
+            slot = vmr_slot(c.name) if a != 0.0 else -1
+            slices.append(SlicePlan("dense", slot, a, b))
+
+    # ln(vmr) rows for LUT gases are appended after the plain vmr rows.
+    lut_log_slots = tuple(len(vmr_names) + i for i in range(len(lut_names)))
+    return GasOpticsPlan(
+        slices=tuple(slices), vmr_names=tuple(vmr_names), ngpt=ngpt,
+        ng_pad=ng_pad, npt_pad=npt_pad, n_p=n_p, n_t=n_t,
+        lut_sizes=tuple(lut_sizes), lut_log_mf0=tuple(lut_log_mf0),
+        lut_inv_dlog=tuple(lut_inv_dlog), lut_log_slots=lut_log_slots,
+        fused_ok=table_nonneg(model))
+
+
+def stacked_table(model: CKDModel, plan: GasOpticsPlan,
+                  gas_names: Tuple[str, ...], dtype) -> jax.Array:
+    """(n_slices * NG, NPT) stacked transposed coefficient table.
+
+    Row block s holds slice s's table as (gpt, p*n_t + t); g-point rows
+    beyond ngpt and grid columns beyond n_p*n_t are zero, so the padded
+    one-hot contraction is exact.
+    """
+    contributions = resolve_contributions(model, gas_names)
+    n_p, n_t, ngpt = plan.n_p, plan.n_t, plan.ngpt
+    blocks = []
+    it = iter(contributions)
+    for c in contributions:
+        gi = c.gas_index
+        code = model.gas_codes[gi]
+        if code == constants.CONC_LUT:
+            table = model.coeff_lut[model.gas_table_idx[gi]]  # (nv,np,nt,ngpt)
+            for v in range(table.shape[0]):
+                blocks.append(table[v])
+        else:
+            blocks.append(model.coeff_dense[model.gas_table_idx[gi]])
+    _ = it
+    out = jnp.zeros((len(blocks) * plan.ng_pad, plan.npt_pad), dtype)
+    for s, blk in enumerate(blocks):
+        t = blk.reshape(n_p * n_t, ngpt).T.astype(dtype)  # (ngpt, np*nt)
+        out = jax.lax.dynamic_update_slice(out, t, (s * plan.ng_pad, 0))
+    return out
+
+
+def stacked_vmrs(plan: GasOpticsPlan, gas_concs: GasConcs, ncol: int,
+                 nlay: int, dtype) -> Optional[jax.Array]:
+    """(n_vmr [+ n_lut], nlay, ncol) vmr profiles in kernel (layer, column)
+    layout; LUT gases get an extra ln(max(vmr, mf0)) row (plan.lut_log_slots)
+    so the kernel never calls Mosaic's approximate log."""
+    if not plan.vmr_names:
+        return None
+    rows = [gas_concs.get_vmr(n, ncol, nlay).astype(dtype).T
+            for n in plan.vmr_names]
+    lut_slots = sorted({s.vmr_slot for s in plan.slices if s.kind == "lut"})
+    for i, slot in enumerate(lut_slots):
+        mf0 = float(np.exp(plan.lut_log_mf0[i]))
+        rows.append(jnp.log(jnp.maximum(rows[slot], mf0)))
+    return jnp.stack(rows)

@@ -1,0 +1,250 @@
+"""Fused shortwave mega-kernel: gas optics + Rayleigh + two-stream adding.
+
+One Pallas kernel per 128-column tile runs the whole shortwave chain the
+reference needs — ecCKD optical depth (gas_optics_ecckd.f90:64-241), Rayleigh
+scattering (:293-319), TOA solar source with TSI renormalization
+(ecckd_rfmip_sw.F90:118-133) and the rte_sw two-stream/adding solve
+(SURVEY.md section 2.3) — with all per-layer intermediates in VMEM scratch.
+
+The two-stream coefficients specialize the Meador-Weaver/PIFM forms of
+solvers/two_stream.py to the gas-only case g == 0 (the ecckd pipeline never
+produces asymmetric scattering; gas_optics_ecckd.f90:461 sets g = 0).
+Layout is (g-point, column) = (sublane, lane); see ops/pallas/lw.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ecckd_tpu import constants
+from ecckd_tpu.gases import GasConcs
+from ecckd_tpu.models.ckd import CKDModel
+from ecckd_tpu.ops.pallas import common, plan as plan_mod
+from ecckd_tpu.ops.pallas.lw import (COL_TILE, P_INV_DLOGP, P_INV_DLOGV,
+                                     P_INV_DT, P_LOG_MF0, P_LOG_P0, _pad_cols)
+
+F32 = jnp.float32
+
+
+def _sw_kernel(params_ref, t_first_ref, table_ref, ray_ref, solar_ref,
+               logp_ref, dp_ref, tlay_ref, mu0_ref, tsi_scale_ref,
+               alb_dir_ref, alb_dif_ref, vmr_ref, up_ref, dn_ref,
+               rdif_s, tdif_s, srcup_s, srcdn_s, albedo_s, src_s, denom_s,
+               *, plan: plan_mod.GasOpticsPlan, nlay: int):
+    log_p0 = params_ref[P_LOG_P0]
+    inv_dlogp = params_ref[P_INV_DLOGP]
+    inv_dt = params_ref[P_INV_DT]
+    log_mf0 = params_ref[P_LOG_MF0]
+    inv_dlogv = params_ref[P_INV_DLOGV]
+    mpp = F32(constants.MOLES_PER_PA)
+    eps = F32(float(np.finfo(np.float32).eps))
+    tiny = F32(float(np.finfo(np.float32).tiny))
+
+    mu0 = mu0_ref[...]                       # (1, C)
+    inv_mu0 = 1.0 / mu0
+    up_ref[...] = jnp.zeros_like(up_ref)
+    dn_ref[...] = jnp.zeros_like(dn_ref)
+
+    # --- Phase A: per-layer optics + two-stream + direct beam (top-down) --
+    dir_top = mu0 * tsi_scale_ref[...] * solar_ref[...]     # (NG, C)
+    dn_ref[pl.ds(0, 1), :] = jnp.sum(dir_top, axis=0, keepdims=True)
+
+    def layer_body(j, direct):
+        tau_gas, d_p = common.gas_tau_layer(
+            j, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref, table_ref,
+            log_p0, inv_dlogp, inv_dt, log_mf0, inv_dlogv, plan, mpp)
+        tau_ray = (mpp * d_p) * ray_ref[...]                # (NG, C)
+        tau = tau_gas + tau_ray
+        ssa = tau_ray / jnp.maximum(tau, tiny)
+
+        # Two-stream with g = 0 (solvers/two_stream.py specialization).
+        gamma1 = (8.0 - ssa * 5.0) * 0.25
+        gamma2 = 3.0 * ssa * 0.25
+        k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2),
+                                 1e-12))
+        exp_mktau = common.exp_accurate(-k * tau)
+        exp_m2ktau = exp_mktau * exp_mktau
+        rt_term = 1.0 / (k * (1.0 + exp_m2ktau)
+                         + gamma1 * (1.0 - exp_m2ktau))
+        r_dif = rt_term * gamma2 * (1.0 - exp_m2ktau)
+        t_dif = rt_term * 2.0 * k * exp_mktau
+        t_noscat = common.exp_accurate(-tau * inv_mu0)
+
+        k_mu = k * mu0
+        # g == 0: gamma3 = gamma4 = 1/2, alpha1 = alpha2 = (g1+g2)/2.
+        alpha = (gamma1 + gamma2) * 0.5
+        k_half = k * 0.5
+        denom = 1.0 - k_mu * k_mu
+        denom = jnp.where(jnp.abs(denom) >= eps, denom, eps)
+        rt2 = ssa * rt_term / denom
+        r_dir = rt2 * ((1.0 - k_mu) * (alpha + k_half)
+                       - (1.0 + k_mu) * (alpha - k_half) * exp_m2ktau
+                       - 2.0 * (k_half - alpha * k_mu) * exp_mktau
+                       * t_noscat)
+        t_dir = -rt2 * ((1.0 + k_mu) * (alpha + k_half) * t_noscat
+                        - (1.0 - k_mu) * (alpha - k_half) * exp_m2ktau
+                        * t_noscat
+                        - 2.0 * (k_half + alpha * k_mu) * exp_mktau)
+        r_dir = jnp.clip(r_dir, 0.0, 1.0 - t_noscat)
+        t_dir = jnp.clip(t_dir, 0.0, 1.0 - t_noscat - r_dir)
+
+        rdif_s[j] = r_dif
+        tdif_s[j] = t_dif
+        srcup_s[j] = r_dir * direct
+        srcdn_s[j] = t_dir * direct
+        direct = t_noscat * direct
+        dn_ref[pl.ds(j + 1, 1), :] = jnp.sum(direct, axis=0, keepdims=True)
+        return direct
+
+    dir_sfc = jax.lax.fori_loop(0, nlay, layer_body, dir_top, unroll=False)
+
+    # --- Phase B: albedo/source of the stack below each level (bottom-up) -
+    albedo_s[nlay] = alb_dif_ref[...]
+    src_s[nlay] = alb_dir_ref[...] * dir_sfc
+
+    def up_accum(k, carry):
+        albedo, src = carry
+        j = nlay - 1 - k
+        r_dif = rdif_s[j]
+        t_dif = tdif_s[j]
+        denom = 1.0 / (1.0 - r_dif * albedo)
+        denom_s[j] = denom
+        albedo_new = r_dif + t_dif * t_dif * albedo * denom
+        src_new = srcup_s[j] + t_dif * denom * (src + albedo * srcdn_s[j])
+        albedo_s[j] = albedo_new
+        src_s[j] = src_new
+        return (albedo_new, src_new)
+
+    jax.lax.fori_loop(0, nlay, up_accum,
+                      (albedo_s[nlay], src_s[nlay]), unroll=False)
+
+    # --- Phase C: downward diffuse sweep, fusing the broadband sums -------
+    up_ref[pl.ds(0, 1), :] = jnp.sum(src_s[0], axis=0, keepdims=True)
+
+    def dn_sweep(j, dn):
+        denom = denom_s[j]
+        dn = (tdif_s[j] * dn + rdif_s[j] * src_s[j + 1] + srcdn_s[j]) * denom
+        up = dn * albedo_s[j + 1] + src_s[j + 1]
+        dn_ref[pl.ds(j + 1, 1), :] += jnp.sum(dn, axis=0, keepdims=True)
+        up_ref[pl.ds(j + 1, 1), :] = jnp.sum(up, axis=0, keepdims=True)
+        return dn
+
+    zero_dn = jnp.zeros_like(dir_top)
+    jax.lax.fori_loop(0, nlay, dn_sweep, zero_dn, unroll=False)
+
+
+def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
+                    gas_concs: GasConcs, sfc_alb: jax.Array, tsi: jax.Array,
+                    sza_deg: jax.Array, interpret: bool = False
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Broadband SW fluxes via the fused kernel (top_at_1 orientation).
+
+    Args mirror pipeline.sw_fluxes (spectrally-constant surface albedo,
+    requested TSI, solar zenith angle in degrees; night-column masking per
+    ecckd_rfmip_sw.F90:106-108,155-161).  Returns (flux_up, flux_dn), each
+    (ncol, nlay+1).
+    """
+    ncol, nlay = tlay.shape
+    p = plan_mod.build_plan(model, gas_concs.names)
+    if not p.fused_ok:
+        raise ValueError("fused path invalid for this model (negative "
+                         "table entries); use the XLA path")
+    ng = p.ng_pad
+    n_p_pad = ((p.n_p + 7) // 8) * 8
+
+    table = plan_mod.stacked_table(model, p, gas_concs.names, F32)
+    vmrs = plan_mod.stacked_vmrs(p, gas_concs, ncol, nlay, F32)
+    if vmrs is None:
+        vmrs = jnp.zeros((1, nlay, ncol), F32)
+
+    lp = model.log_pressure.astype(F32)
+    tg = model.temperature_grid.astype(F32)
+    params = jnp.stack([
+        lp[0], 1.0 / (lp[1] - lp[0]), 1.0 / (tg[0, 1] - tg[0, 0]),
+        jnp.zeros((), F32), jnp.zeros((), F32),
+        jnp.asarray(p.lut_log_mf0[0] if p.lut_log_mf0 else 0.0, F32),
+        jnp.asarray(p.lut_inv_dlog[0] if p.lut_inv_dlog else 0.0, F32),
+        jnp.zeros((), F32)])
+
+    t_first = jnp.zeros((n_p_pad, 1), F32).at[:p.n_p, 0].set(tg[:, 0])
+    solar = model.solar_irradiance.astype(F32)
+    ray = jnp.zeros((ng, 1), F32).at[:model.ngpt, 0].set(
+        model.rayleigh_coeff.astype(F32))
+    solar_col = jnp.zeros((ng, 1), F32).at[:model.ngpt, 0].set(solar)
+
+    dtype = F32
+    # TSI renormalization (ecckd_rfmip_sw.F90:125-133): requested / default.
+    tsi_scale = (tsi.astype(dtype) / jnp.sum(solar))[None, :]
+    # Night mask (ecckd_rfmip_sw.F90:106-108).
+    spacing90 = float(np.spacing(np.float32(90.0)))
+    usecol = sza_deg.astype(dtype) < (90.0 - 2.0 * spacing90)
+    deg_to_rad = jnp.asarray(np.arccos(-1.0) / 180.0, dtype)
+    mu0 = jnp.where(usecol, jnp.cos(sza_deg.astype(dtype) * deg_to_rad), 1.0)
+
+    alb_gpt = jnp.zeros((ng, ncol), F32).at[:model.ngpt].set(
+        jnp.broadcast_to(sfc_alb.astype(F32)[None, :], (model.ngpt, ncol)))
+
+    ncol_pad = ((ncol + COL_TILE - 1) // COL_TILE) * COL_TILE
+    logp_t = _pad_cols(
+        jnp.log(0.5 * (plev[:, 1:] + plev[:, :-1])).astype(F32).T, ncol_pad)
+    dp_t = _pad_cols((plev[:, 1:] - plev[:, :-1]).astype(F32).T, ncol_pad)
+    tlay_t = _pad_cols(tlay.astype(F32).T, ncol_pad)
+    mu0_t = _pad_cols(mu0[None, :], ncol_pad)
+    tsi_t = _pad_cols(tsi_scale.astype(F32), ncol_pad)
+    alb_t = _pad_cols(alb_gpt, ncol_pad)
+    vmr_t = _pad_cols(vmrs, ncol_pad)
+
+    kernel = functools.partial(_sw_kernel, plan=p, nlay=nlay)
+    nlev = nlay + 1
+    n_vmr = vmr_t.shape[0]
+    rep2 = lambda i: (0, 0)
+    rep3 = lambda i: (0, 0, 0)
+    col2 = lambda i: (0, i)
+    out = pl.pallas_call(
+        kernel,
+        grid=(ncol_pad // COL_TILE,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_p_pad, 1), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(table.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, 1), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, 1), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nlay, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nlay, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nlay, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_vmr, nlay, COL_TILE), rep3,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nlev, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nlev, COL_TILE), col2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nlev, ncol_pad), F32),
+            jax.ShapeDtypeStruct((nlev, ncol_pad), F32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # r_dif
+            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # t_dif
+            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # src up
+            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # src dn
+            pltpu.VMEM((nlev, ng, COL_TILE), F32),   # albedo per level
+            pltpu.VMEM((nlev, ng, COL_TILE), F32),   # src per level
+            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # denom
+        ],
+        interpret=interpret,
+    )(params, t_first, table, ray, solar_col, logp_t, dp_t, tlay_t, mu0_t,
+      tsi_t, alb_t, alb_t, vmr_t)
+    flux_up, flux_dn = out
+    mask = usecol.astype(F32)[:, None]
+    return flux_up[:, :ncol].T * mask, flux_dn[:, :ncol].T * mask

@@ -71,22 +71,47 @@ def map_over_column_chunks(fn, args, ncol: int, chunk: int):
         lambda x: x.reshape(ncol, *x.shape[2:]), out)
 
 
+def _use_fused(model: CKDModel, dtype, backend: str, top_at_1: bool) -> bool:
+    """Fused Pallas mega-kernels run on TPU-class backends at f32; the XLA
+    path covers everything else (CPU tests, f64 validation runs)."""
+    if backend == "xla":
+        return False
+    on_tpu = jax.default_backend() not in ("cpu",)
+    ok = (on_tpu and jnp.dtype(dtype) == jnp.float32 and top_at_1
+          and model.tables_nonneg)
+    if backend == "fused" and not ok:
+        raise ValueError("fused backend requested but unavailable "
+                         f"(backend={jax.default_backend()}, dtype={dtype})")
+    return ok
+
+
 def lw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
               tlev: jax.Array, tsfc: jax.Array, sfc_emis: jax.Array,
               gas_concs: GasConcs, n_gauss_angles: int = 1,
               top_at_1: bool = True,
-              column_chunk: int | None = None) -> FluxesBroadband:
+              column_chunk: int | None = None,
+              backend: str = "auto") -> FluxesBroadband:
     """Longwave broadband fluxes for a column batch.
 
     Args:
       sfc_emis: spectrally-constant surface emissivity, (ncol,).
       column_chunk: optional microbatch size bounding peak device memory
-        (see map_over_column_chunks).
+        on the XLA path (see map_over_column_chunks); the fused kernel
+        bounds its own memory and ignores it.
+      backend: "auto" | "fused" (Pallas mega-kernel) | "xla".
     """
+    dtype = jnp.asarray(tlay).dtype
+    if _use_fused(model, dtype, backend, top_at_1):
+        from ecckd_tpu.ops.pallas.lw import lw_fluxes_fused
+        emis_gpt = jnp.broadcast_to(
+            sfc_emis[:, None], (tlay.shape[0], model.ngpt)).astype(dtype)
+        up, dn = lw_fluxes_fused(model, plev, tlay, tlev, tsfc, emis_gpt,
+                                 gas_concs, n_gauss_angles=n_gauss_angles)
+        return FluxesBroadband(flux_up=up, flux_dn=dn)
     if column_chunk is not None and tlay.shape[0] > column_chunk:
         fn = lambda p, tl, tv, ts, e, c: lw_fluxes(
             model, p, tl, tv, ts, e, c, n_gauss_angles=n_gauss_angles,
-            top_at_1=top_at_1)
+            top_at_1=top_at_1, backend="xla")
         return map_over_column_chunks(
             fn, (plev, tlay, tlev, tsfc, sfc_emis, gas_concs),
             tlay.shape[0], column_chunk)
@@ -102,18 +127,27 @@ def lw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
 def sw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
               gas_concs: GasConcs, sfc_alb: jax.Array, tsi: jax.Array,
               sza_deg: jax.Array, top_at_1: bool = True,
-              column_chunk: int | None = None) -> FluxesBroadband:
+              column_chunk: int | None = None,
+              backend: str = "auto") -> FluxesBroadband:
     """Shortwave broadband fluxes for a column batch.
 
     Args:
       sfc_alb: spectrally-constant surface albedo, (ncol,).
       tsi: requested total solar irradiance [W m-2], (ncol,).
       sza_deg: solar zenith angle [degrees], (ncol,).
-      column_chunk: optional microbatch size bounding peak device memory.
+      column_chunk: optional microbatch size bounding peak device memory
+        on the XLA path; the fused kernel bounds its own memory.
+      backend: "auto" | "fused" (Pallas mega-kernel) | "xla".
     """
+    dtype_in = jnp.asarray(tlay).dtype
+    if _use_fused(model, dtype_in, backend, top_at_1):
+        from ecckd_tpu.ops.pallas.sw import sw_fluxes_fused
+        up, dn = sw_fluxes_fused(model, plev, tlay, gas_concs, sfc_alb,
+                                 tsi, sza_deg)
+        return FluxesBroadband(flux_up=up, flux_dn=dn)
     if column_chunk is not None and tlay.shape[0] > column_chunk:
         fn = lambda p, tl, c, a, t, s: sw_fluxes(
-            model, p, tl, c, a, t, s, top_at_1=top_at_1)
+            model, p, tl, c, a, t, s, top_at_1=top_at_1, backend="xla")
         return map_over_column_chunks(
             fn, (plev, tlay, gas_concs, sfc_alb, tsi, sza_deg),
             tlay.shape[0], column_chunk)

@@ -1,0 +1,109 @@
+"""Fused Pallas mega-kernels vs the XLA reference path.
+
+Runs the kernels in interpreter mode on CPU (Mosaic compilation is
+TPU-only); the on-chip path is exercised by bench.py and the CLI drivers.
+Tolerances are f32-roundoff-level: the fused kernels reorder sums (MXU
+contraction vs sequential accumulation) but implement identical arithmetic.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conftest import LW_FSCK, LW_RRTMGP, SW_WIDE, make_atmosphere
+
+from ecckd_tpu.gases import GasConcs
+from ecckd_tpu.models.loader import load_ckd_model
+from ecckd_tpu.ops.pallas.lw import lw_fluxes_fused
+from ecckd_tpu.ops.pallas.sw import sw_fluxes_fused
+from ecckd_tpu.pipeline import lw_fluxes, sw_fluxes
+
+F32 = np.float32
+
+
+def _inputs(ncol=9, nlay=33, seed=3):
+    atm = make_atmosphere(ncol, nlay, seed=seed)
+    cast = lambda x: jnp.asarray(atm[x], F32)
+    concs = GasConcs.create(dict(
+        h2o=jnp.asarray(atm["h2o"], F32), o3=jnp.asarray(atm["o3"], F32),
+        co2=4.0e-4,
+        # ch4 below its reference mole fraction (1.921e-6) exercises the
+        # negative-weight clamp of the relative-linear dependence.
+        ch4=1.2e-6, n2o=3.3e-7, o2=0.2095, cfc11=2e-10, cfc12=5e-10))
+    return cast("plev"), cast("tlay"), cast("tlev"), cast("tsfc"), concs
+
+
+@pytest.mark.parametrize("ckd_file", [LW_FSCK, LW_RRTMGP])
+@pytest.mark.parametrize("n_angles", [1, 3])
+def test_lw_fused_matches_xla(ckd_file, n_angles):
+    model = load_ckd_model(ckd_file, dtype=np.dtype(F32))
+    plev, tlay, tlev, tsfc, concs = _inputs()
+    ncol = tlay.shape[0]
+    emis = jnp.full((ncol,), 0.9, F32)
+    ref = lw_fluxes(model, plev, tlay, tlev, tsfc, emis, concs,
+                    n_gauss_angles=n_angles, backend="xla")
+    emis_gpt = jnp.broadcast_to(emis[:, None], (ncol, model.ngpt))
+    up, dn = lw_fluxes_fused(model, plev, tlay, tlev, tsfc, emis_gpt,
+                             concs, n_gauss_angles=n_angles, interpret=True)
+    scale = float(jnp.abs(ref.flux_up).max())
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ref.flux_up),
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(dn), np.asarray(ref.flux_dn),
+                               atol=3e-5 * scale)
+
+
+def test_lw_fused_banded_emissivity():
+    """Per-g-point (banded) emissivity is honored, not just broadcast."""
+    model = load_ckd_model(LW_RRTMGP, dtype=np.dtype(F32))
+    plev, tlay, tlev, tsfc, concs = _inputs(ncol=4)
+    ncol = tlay.shape[0]
+    rng = np.random.default_rng(0)
+    emis_band = rng.uniform(0.7, 1.0, (ncol, model.nband)).astype(F32)
+    emis_gpt = model.gpt_weights_per_band(jnp.asarray(emis_band))
+    from ecckd_tpu.models.gas_optics import gas_optics_lw
+    from ecckd_tpu.solvers.lw import rte_lw
+    props, sources = gas_optics_lw(model, plev, tlay, tsfc, concs, tlev)
+    ref_up, ref_dn = rte_lw(props, sources, emis_gpt.astype(props.tau.dtype),
+                            n_gauss_angles=1)
+    up, dn = lw_fluxes_fused(model, plev, tlay, tlev, tsfc, emis_gpt,
+                             concs, n_gauss_angles=1, interpret=True)
+    scale = float(jnp.abs(ref_up).max())
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ref_up),
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(dn), np.asarray(ref_dn),
+                               atol=3e-5 * scale)
+
+
+def test_sw_fused_matches_xla():
+    model = load_ckd_model(SW_WIDE, dtype=np.dtype(F32))
+    plev, tlay, _tlev, _tsfc, concs = _inputs(ncol=11)
+    ncol = tlay.shape[0]
+    alb = jnp.asarray(np.linspace(0.05, 0.8, ncol), F32)
+    tsi = jnp.full((ncol,), 1361.0, F32)
+    # Includes day, grazing and night (masked) columns.
+    sza = jnp.asarray(np.linspace(0.0, 110.0, ncol), F32)
+    ref = sw_fluxes(model, plev, tlay, concs, alb, tsi, sza, backend="xla")
+    up, dn = sw_fluxes_fused(model, plev, tlay, concs, alb, tsi, sza,
+                             interpret=True)
+    scale = float(jnp.abs(ref.flux_dn).max())
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ref.flux_up),
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(dn), np.asarray(ref.flux_dn),
+                               atol=3e-5 * scale)
+
+
+def test_fused_column_padding_exact():
+    """Columns beyond a tile boundary are edge-padded and sliced away;
+    results must not depend on the batch's padding."""
+    model = load_ckd_model(LW_FSCK, dtype=np.dtype(F32))
+    plev, tlay, tlev, tsfc, concs = _inputs(ncol=5)
+    emis_gpt = jnp.full((5, model.ngpt), 0.95, F32)
+    up5, dn5 = lw_fluxes_fused(model, plev, tlay, tlev, tsfc, emis_gpt,
+                               concs, interpret=True)
+    take = lambda x: x[:3] if x.ndim >= 1 and x.shape[0] == 5 else x
+    concs3 = GasConcs(values=tuple(take(v) for v in concs.values),
+                      names=concs.names)
+    up3, dn3 = lw_fluxes_fused(model, plev[:3], tlay[:3], tlev[:3],
+                               tsfc[:3], emis_gpt[:3], concs3,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(up3), np.asarray(up5[:3]))
+    np.testing.assert_array_equal(np.asarray(dn3), np.asarray(dn5[:3]))
