@@ -73,19 +73,23 @@ def run_bench(mode: str) -> None:
     b = _build(ncol, nlay, dtype)
 
     chunk = int(os.environ.get("ECCKD_BENCH_CHUNK", "8192"))
-    lw_step = jax.jit(lambda plev, tlay, tlev, tsfc, emis, concs: lw_fluxes(
-        lw, plev, tlay, tlev, tsfc, emis, concs, n_gauss_angles=1,
-        column_chunk=chunk))
-    sw_step = jax.jit(lambda plev, tlay, concs, alb, tsi, sza: sw_fluxes(
-        sw, plev, tlay, concs, alb, tsi, sza, column_chunk=chunk))
+    # Models are jit arguments placed on device once (closing over them
+    # forces a device->host fetch of every table at lowering time).
+    lw_step = jax.jit(lambda m, plev, tlay, tlev, tsfc, emis, concs:
+                      lw_fluxes(m, plev, tlay, tlev, tsfc, emis, concs,
+                                n_gauss_angles=1, column_chunk=chunk))
+    sw_step = jax.jit(lambda m, plev, tlay, concs, alb, tsi, sza: sw_fluxes(
+        m, plev, tlay, concs, alb, tsi, sza, column_chunk=chunk))
 
+    lw_dev = jax.device_put(lw)
+    sw_dev = jax.device_put(sw)
     args = {k: jax.device_put(v) for k, v in b.items() if k != "concs"}
     concs = jax.device_put(b["concs"])
 
     def step():
-        f1 = lw_step(args["plev"], args["tlay"], args["tlev"], args["tsfc"],
-                     args["emis"], concs)
-        f2 = sw_step(args["plev"], args["tlay"], concs, args["alb"],
+        f1 = lw_step(lw_dev, args["plev"], args["tlay"], args["tlev"],
+                     args["tsfc"], args["emis"], concs)
+        f2 = sw_step(sw_dev, args["plev"], args["tlay"], concs, args["alb"],
                      args["tsi"], args["sza"])
         return f1, f2
 

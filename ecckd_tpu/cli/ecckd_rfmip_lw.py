@@ -41,9 +41,13 @@ def main(argv=None) -> int:
                               top_at_1)
     concs = common.build_gas_concs(data, dtype)
 
-    fn = functools.partial(lw_fluxes, model, n_gauss_angles=n_quad_angles,
+    # The model is a jit *argument* (placed on device once), never a
+    # closure: closure constants are fetched back from the device at
+    # lowering time, which costs minutes over a remote TPU transport.
+    fn = functools.partial(lw_fluxes, n_gauss_angles=n_quad_angles,
                            top_at_1=top_at_1)
     jfn = jax.jit(fn)
+    model_dev = jax.device_put(model)
     arrays, _ = common.place_on_mesh(
         [plev, data.tlay.astype(dtype), data.tlev.astype(dtype),
          data.sfc_t.astype(dtype), data.sfc_emis.astype(dtype)],
@@ -51,8 +55,8 @@ def main(argv=None) -> int:
     concs_dev = jax.device_put(concs)
 
     with common.Timer("lw flux solve"):
-        fluxes = jfn(arrays[0], arrays[1], arrays[2], arrays[3], arrays[4],
-                     concs_dev)
+        fluxes = jfn(model_dev, arrays[0], arrays[1], arrays[2], arrays[3],
+                     arrays[4], concs_dev)
         jax.block_until_ready(fluxes)
 
     up = np.asarray(fluxes.flux_up)[:data.ncol]

@@ -37,8 +37,10 @@ def main(argv=None) -> int:
                               top_at_1)
     concs = common.build_gas_concs(data, dtype)
 
-    fn = functools.partial(sw_fluxes, model, top_at_1=top_at_1)
+    # Model passed as a jit argument, not a closure (see ecckd_rfmip_lw.py).
+    fn = functools.partial(sw_fluxes, top_at_1=top_at_1)
     jfn = jax.jit(fn)
+    model_dev = jax.device_put(model)
     arrays, _ = common.place_on_mesh(
         [plev, data.tlay.astype(dtype), data.sfc_alb.astype(dtype),
          data.tsi.astype(dtype), data.sza.astype(dtype)],
@@ -46,8 +48,8 @@ def main(argv=None) -> int:
     concs_dev = jax.device_put(concs)
 
     with common.Timer("sw flux solve"):
-        fluxes = jfn(arrays[0], arrays[1], concs_dev, arrays[2], arrays[3],
-                     arrays[4])
+        fluxes = jfn(model_dev, arrays[0], arrays[1], concs_dev, arrays[2],
+                     arrays[3], arrays[4])
         jax.block_until_ready(fluxes)
 
     up = np.asarray(fluxes.flux_up)[:data.ncol]

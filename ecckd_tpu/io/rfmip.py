@@ -82,14 +82,43 @@ def _read(var) -> np.ndarray:
     return data.astype(data.dtype.newbyteorder("="), copy=True)
 
 
-def _read_scaled(f, name: str) -> np.ndarray:
-    """Read a gas variable and multiply in its numeric ``units`` attribute
-    (mo_rfmip_io.F90:266-282)."""
-    var = f.variables[name]
-    units = var.units
-    if isinstance(units, bytes):
-        units = units.decode()
-    return _read(var) * float(units)
+class _NcFile:
+    """Uniform reader facade over the native C++ engine (preferred, see
+    io/nc3_native.py) or scipy.io.netcdf (fallback)."""
+
+    def __init__(self, path: str):
+        from ecckd_tpu.io import nc3_native
+        self._native = None
+        self._scipy = None
+        if nc3_native.load_library() is not None:
+            self._native = nc3_native.NativeReader(path)
+        else:
+            self._scipy = netcdf_file(path, mmap=False)
+
+    def close(self):
+        (self._native or self._scipy).close()
+
+    def dim(self, name: str) -> int:
+        if self._native:
+            return self._native.dimensions[name]
+        return self._scipy.dimensions[name]
+
+    def read(self, name: str) -> np.ndarray:
+        if self._native:
+            return self._native.read(name)
+        return _read(self._scipy.variables[name])
+
+    def read_scaled(self, name: str) -> np.ndarray:
+        """Gas variable with its numeric ``units`` attribute multiplied in
+        (mo_rfmip_io.F90:266-282)."""
+        if self._native:
+            units = self._native.att_text(name, "units")
+            return self._native.read(name) * float(units)
+        var = self._scipy.variables[name]
+        units = var.units
+        if isinstance(units, bytes):
+            units = units.decode()
+        return _read(var) * float(units)
 
 
 def _spread_expt(site_field: np.ndarray, nexp: int) -> np.ndarray:
@@ -102,44 +131,41 @@ def _spread_expt(site_field: np.ndarray, nexp: int) -> np.ndarray:
 
 def read_rfmip(path: str, forcing_index: int = 1) -> RFMIPData:
     """Load an RFMIP atmosphere file (schema: SURVEY.md section 2.7)."""
-    f = netcdf_file(path, mmap=False)
+    f = _NcFile(path)
     try:
-        nsite = f.dimensions["site"]
-        nlay = f.dimensions["layer"]
-        nlev = f.dimensions["level"]
-        nexp = f.dimensions["expt"]
+        nsite = f.dim("site")
+        nlay = f.dim("layer")
+        nlev = f.dim("level")
+        nexp = f.dim("expt")
         if nlev != nlay + 1:
             raise ValueError("number of levels should be nlay+1")
 
         # Pressures are experiment-invariant; temperatures are not.
-        pres_layer = _read(f.variables["pres_layer"])  # (site, layer)
-        pres_level = _read(f.variables["pres_level"])  # (site, level)
-        temp_layer = _read(f.variables["temp_layer"])  # (expt, site, layer)
-        temp_level = _read(f.variables["temp_level"])  # (expt, site, level)
+        pres_layer = f.read("pres_layer")  # (site, layer)
+        pres_level = f.read("pres_level")  # (site, level)
+        temp_layer = f.read("temp_layer")  # (expt, site, layer)
+        temp_level = f.read("temp_level")  # (expt, site, level)
 
         play = np.tile(pres_layer, (nexp, 1))
         plev = np.tile(pres_level, (nexp, 1))
         tlay = temp_layer.reshape(nexp * nsite, nlay)
         tlev = temp_level.reshape(nexp * nsite, nlev)
 
-        sfc_emis = _spread_expt(_read(f.variables["surface_emissivity"]),
-                                nexp)
-        sfc_t = _read(f.variables["surface_temperature"]).reshape(-1)
-        sfc_alb = _spread_expt(_read(f.variables["surface_albedo"]), nexp)
-        tsi = _spread_expt(_read(f.variables["total_solar_irradiance"]),
-                           nexp)
-        sza = _spread_expt(_read(f.variables["solar_zenith_angle"]), nexp)
+        sfc_emis = _spread_expt(f.read("surface_emissivity"), nexp)
+        sfc_t = f.read("surface_temperature").reshape(-1)
+        sfc_alb = _spread_expt(f.read("surface_albedo"), nexp)
+        tsi = _spread_expt(f.read("total_solar_irradiance"), nexp)
+        sza = _spread_expt(f.read("solar_zenith_angle"), nexp)
 
         gases_3d = {
-            "h2o": _read_scaled(f, "water_vapor").reshape(
-                nexp * nsite, nlay),
-            "o3": _read_scaled(f, "ozone").reshape(nexp * nsite, nlay),
+            "h2o": f.read_scaled("water_vapor").reshape(nexp * nsite, nlay),
+            "o3": f.read_scaled("ozone").reshape(nexp * nsite, nlay),
         }
 
         _, rfmip_names = rfmip_gas_names(forcing_index)
         gases_scalar = {}
         for kname, fname in zip(KDIST_GAS_NAMES, rfmip_names):
-            per_exp = _read_scaled(f, f"{fname}_GM")  # (expt,)
+            per_exp = f.read_scaled(f"{fname}_GM")  # (expt,)
             gases_scalar[kname] = np.repeat(per_exp, nsite)
         # no2 is known to some k-distributions but absent from RFMIP;
         # hard-set to zero (mo_rfmip_io.F90:256-260).
@@ -164,13 +190,28 @@ def write_fluxes(path: str, varname: str, fluxes: np.ndarray, nsite: int,
     """
     nlev = fluxes.shape[1]
     data = fluxes.reshape(nexp, nsite, nlev)
+    from ecckd_tpu.io import nc3_native
+    native = nc3_native.load_library() is not None
     if os.path.exists(path):
+        if native:
+            nc3_native.update_var(path, varname, data)
+            return
         f = netcdf_file(path, "a", mmap=False)
         try:
             var = f.variables[varname]
             var[:] = data.astype(var.data.dtype)
         finally:
             f.close()
+        return
+    if native:
+        w = nc3_native.NativeWriter(path)
+        w.def_dim("expt", nexp)
+        w.def_dim("site", nsite)
+        w.def_dim("level", nlev)
+        w.def_var(varname, "d", ("expt", "site", "level"))
+        w.put_att(varname, "units", "W m-2")
+        w.put_var(varname, data)
+        w.finish()
         return
     f = netcdf_file(path, "w")
     try:

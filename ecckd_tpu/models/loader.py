@@ -165,7 +165,13 @@ def _build_model(f, dtype) -> CKDModel:
         if tok not in gas_names:
             read_gas(tok, COMPOSITE, composite_only=True)
 
-    arr = lambda x: jnp.asarray(x, dtype=dtype)
+    # Leaves stay on the host (numpy).  Anything else silently poisons
+    # compile time on remote-device platforms: a jit that closes over a
+    # device-resident model must fetch every table back through the device
+    # transport to embed it as an MLIR constant (~30 s/array over a TPU
+    # relay).  Callers running a hot loop should jax.device_put the model
+    # once and pass it as a jit *argument* (see cli/common.py, bench.py).
+    arr = lambda x: np.asarray(x, dtype=dtype)
     opt = lambda x: None if x is None else arr(x)
 
     return CKDModel(

@@ -26,9 +26,24 @@ def frac_index(raw: jax.Array, n: int, clamp: float = 1.0001
                ) -> Tuple[jax.Array, jax.Array]:
     """Clamped fractional index on a uniform grid (0-based):
     i0 in [0, n-2], w1 = idx - i0 (see ops/interp.py)."""
-    idx = jnp.clip(raw, 0.0, n - clamp)
+    # Literal clip bounds must be f32: under jax_enable_x64 a Python float
+    # becomes an f64[] constant, and Mosaic cannot lower the f64->f32 trunc.
+    idx = jnp.clip(raw, F32(0.0), F32(n - clamp))
     i0 = jnp.floor(idx).astype(I32)
     return i0, idx - i0
+
+
+def fori32(lo, hi, body, init, unroll=False):
+    """fori_loop with the induction variable pinned to int32.
+
+    Python-int bounds give an int64 induction var when jax_enable_x64 is
+    on, and Mosaic rejects the resulting mixed i32/i64 index arithmetic;
+    every in-kernel loop must use this wrapper.
+    """
+    if isinstance(init, int):
+        init = jnp.asarray(init, I32)
+    return jax.lax.fori_loop(jnp.asarray(lo, I32), jnp.asarray(hi, I32),
+                             body, init, unroll=unroll)
 
 
 def pair_onehot(n_rows: int, i0: jax.Array, w1: jax.Array) -> jax.Array:
@@ -45,7 +60,10 @@ def pt_onehot(npt_pad: int, n_t: int, i0p: jax.Array, wp1: jax.Array,
     """(npt_pad, C) bi-linear one-hot over the flattened (pressure,
     temperature) grid: row p*n_t + t gets wp(p) * wt(t)."""
     iota = jax.lax.broadcasted_iota(I32, (npt_pad, 1), 0)
-    pid = iota // n_t
+    # lax.div, not //: jnp floor_divide round-trips through int64 when x64
+    # is enabled, which Mosaic's convert lowering cannot handle (infinite
+    # recursion).  iota is non-negative so truncating division is exact.
+    pid = jax.lax.div(iota, jnp.asarray(n_t, I32))
     tid = iota - pid * n_t
     zero = jnp.zeros((), wp1.dtype)
     ohp = (jnp.where(pid == i0p, 1.0 - wp1, zero)
@@ -72,7 +90,7 @@ def exp_accurate(x: jax.Array) -> jax.Array:
     kernels only call it with x <= 0).
     """
     n = jnp.floor(x * F32(_LOG2E) + F32(0.5))
-    nc = jnp.clip(n, -126.0, 127.0)
+    nc = jnp.clip(n, F32(-126.0), F32(127.0))
     r = (x - nc * F32(_LN2_HI)) - nc * F32(_LN2_LO)
     # exp(r), |r| <= ln2/2 + 1ulp: Taylor to r^6 (max term ~ 2e-9).
     p = F32(1.0 / 720.0)
@@ -80,7 +98,7 @@ def exp_accurate(x: jax.Array) -> jax.Array:
         p = p * r + F32(c)
     scale = pltpu_bitcast((nc.astype(jnp.int32) + 127) << 23, F32)
     out = p * scale
-    return jnp.where(x < -87.0, 0.0, out)
+    return jnp.where(x < F32(-87.0), F32(0.0), out)
 
 
 def pltpu_bitcast(x, dtype):
@@ -88,12 +106,37 @@ def pltpu_bitcast(x, dtype):
     return jax.lax.bitcast_convert_type(x, dtype)
 
 
+import os
+
+_MXU_MODE = os.environ.get("ECCKD_MXU_PRECISION", "bf16x3")
+
+
 def matmul_f32(a: jax.Array, b: jax.Array) -> jax.Array:
-    """MXU contraction at float32-accurate precision."""
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+    """MXU contraction at ~float32 accuracy.
+
+    Default is a manual 3-pass bf16 split (a_hi@b_hi + a_lo@b_hi + a_hi@b_lo,
+    each a single-pass bf16 MXU op): ~1e-7 relative — the same accuracy class
+    as Mosaic's HIGHEST (6-pass) at half the MXU time.  Modes via
+    ECCKD_MXU_PRECISION: bf16x3 | highest | default (1-pass bf16, ~6e-4 —
+    fast but below the framework's accuracy contract; for experiments only).
+    """
+    dn = (((1,), (0,)), ((), ()))
+    if _MXU_MODE == "highest":
+        return jax.lax.dot_general(a, b, dimension_numbers=dn,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=F32)
+    if _MXU_MODE == "default":
+        return jax.lax.dot_general(a, b, dimension_numbers=dn,
+                                   precision=jax.lax.Precision.DEFAULT,
+                                   preferred_element_type=F32)
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(F32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(F32)).astype(jnp.bfloat16)
+    dot = lambda x, y: jax.lax.dot_general(
+        x, y, dimension_numbers=dn, precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=F32)
+    return dot(a_hi, b_hi) + (dot(a_lo, b_hi) + dot(a_hi, b_lo))
 
 
 def pressure_temperature_index(log_p, t_lay, t_first_ref, log_p0, inv_dlogp,
@@ -168,11 +211,11 @@ def gas_tau_layer(j, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
                 w = sw * F32(sl.b)
             # Non-negative tables turn the per-g-point clamp
             # (gas_optics_ecckd.f90:234-238) into a weight clamp.
-            w = jnp.maximum(w, 0.0)
+            w = jnp.maximum(w, F32(0.0))
         else:
             v = sl.lut_index
-            wv = (jnp.where(i0v == v, 1.0 - wv1, 0.0)
-                  + jnp.where(i0v + 1 == v, wv1, 0.0))
+            wv = (jnp.where(i0v == v, 1.0 - wv1, F32(0.0))
+                  + jnp.where(i0v + 1 == v, wv1, F32(0.0)))
             w = w_h2o * wv
         tau_j += w * block
     return tau_j, d_p
@@ -187,9 +230,9 @@ def planck_eval(t_row, planck_t_ref, planck_row0_ref, t0, inv_dt, n_planck,
     division by pi (gas_optics_ecckd.f90:245-289).
     """
     idx = (t_row - t0) * inv_dt
-    i0 = jnp.clip(jnp.floor(idx), 0.0, n_planck - 2.0).astype(I32)
+    i0 = jnp.clip(jnp.floor(idx), F32(0.0), F32(n_planck - 2.0)).astype(I32)
     w1 = idx - i0.astype(idx.dtype)
     oh = pair_onehot(npl_pad, i0, w1)
     interp = matmul_f32(planck_t_ref[...], oh)
     below = (t_row / t0) * planck_row0_ref[...]
-    return jnp.where(idx >= 0.0, interp, below) * inv_pi
+    return jnp.where(idx >= F32(0.0), interp, below) * inv_pi

@@ -30,7 +30,8 @@ from ecckd_tpu.models.ckd import CKDModel
 from ecckd_tpu.ops.pallas import common, plan as plan_mod
 from ecckd_tpu.solvers.quadrature import gauss_angles
 
-COL_TILE = 128
+import os
+COL_TILE = int(os.environ.get("ECCKD_COL_TILE", "128"))
 F32 = jnp.float32
 
 # params SMEM layout
@@ -60,21 +61,21 @@ def _lw_kernel(params_ref, t_first_ref, table_ref, planck_t_ref,
         planck_row0_ref=planck_row0_ref, t0=planck_t0, inv_dt=inv_planck_dt,
         n_planck=n_planck, npl_pad=npl_pad, inv_pi=inv_pi)
 
-    def layer_optics(j, _):
+    def layer_optics(j, carry):
         tau_j, _dp = common.gas_tau_layer(
             j, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref, table_ref,
             log_p0, inv_dlogp, inv_dt, log_mf0, inv_dlogv, plan, mpp)
         tau_s[j] = tau_j
         play_s[j] = planck(tlay_ref[pl.ds(j, 1), :])
-        return 0
+        return carry
 
-    jax.lax.fori_loop(0, nlay, layer_optics, 0, unroll=False)
+    common.fori32(0, nlay, layer_optics, 0, unroll=False)
 
-    def level_planck(j, _):
+    def level_planck(j, carry):
         plevs_s[j] = planck(tlev_ref[pl.ds(j, 1), :])
-        return 0
+        return carry
 
-    jax.lax.fori_loop(0, nlay + 1, level_planck, 0, unroll=False)
+    common.fori32(0, nlay + 1, level_planck, 0, unroll=False)
     sfc_src = planck(tsfc_ref[...])
 
     up_ref[...] = jnp.zeros_like(up_ref)
@@ -105,7 +106,7 @@ def _lw_kernel(params_ref, t_first_ref, table_ref, planck_t_ref,
             return rad
 
         rad_top = jnp.zeros_like(sfc_src)
-        rad_sfc_dn = jax.lax.fori_loop(0, nlay, down_body, rad_top,
+        rad_sfc_dn = common.fori32(0, nlay, down_body, rad_top,
                                        unroll=False)
         rad = emis * sfc_src + (1.0 - emis) * rad_sfc_dn
         up_ref[pl.ds(nlay, 1), :] += w2pi * jnp.sum(rad, axis=0,
@@ -118,7 +119,7 @@ def _lw_kernel(params_ref, t_first_ref, table_ref, planck_t_ref,
                                                      keepdims=True)
             return rad
 
-        jax.lax.fori_loop(0, nlay, up_body, rad, unroll=False)
+        common.fori32(0, nlay, up_body, rad, unroll=False)
 
 
 def _pad_cols(x: jax.Array, ncol_pad: int) -> jax.Array:

@@ -67,7 +67,7 @@ def _sw_kernel(params_ref, t_first_ref, table_ref, ray_ref, solar_ref,
         gamma1 = (8.0 - ssa * 5.0) * 0.25
         gamma2 = 3.0 * ssa * 0.25
         k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2),
-                                 1e-12))
+                                 F32(1e-12)))
         exp_mktau = common.exp_accurate(-k * tau)
         exp_m2ktau = exp_mktau * exp_mktau
         rt_term = 1.0 / (k * (1.0 + exp_m2ktau)
@@ -91,8 +91,8 @@ def _sw_kernel(params_ref, t_first_ref, table_ref, ray_ref, solar_ref,
                         - (1.0 - k_mu) * (alpha - k_half) * exp_m2ktau
                         * t_noscat
                         - 2.0 * (k_half + alpha * k_mu) * exp_mktau)
-        r_dir = jnp.clip(r_dir, 0.0, 1.0 - t_noscat)
-        t_dir = jnp.clip(t_dir, 0.0, 1.0 - t_noscat - r_dir)
+        r_dir = jnp.clip(r_dir, F32(0.0), 1.0 - t_noscat)
+        t_dir = jnp.clip(t_dir, F32(0.0), 1.0 - t_noscat - r_dir)
 
         rdif_s[j] = r_dif
         tdif_s[j] = t_dif
@@ -102,7 +102,7 @@ def _sw_kernel(params_ref, t_first_ref, table_ref, ray_ref, solar_ref,
         dn_ref[pl.ds(j + 1, 1), :] = jnp.sum(direct, axis=0, keepdims=True)
         return direct
 
-    dir_sfc = jax.lax.fori_loop(0, nlay, layer_body, dir_top, unroll=False)
+    dir_sfc = common.fori32(0, nlay, layer_body, dir_top, unroll=False)
 
     # --- Phase B: albedo/source of the stack below each level (bottom-up) -
     albedo_s[nlay] = alb_dif_ref[...]
@@ -121,7 +121,7 @@ def _sw_kernel(params_ref, t_first_ref, table_ref, ray_ref, solar_ref,
         src_s[j] = src_new
         return (albedo_new, src_new)
 
-    jax.lax.fori_loop(0, nlay, up_accum,
+    common.fori32(0, nlay, up_accum,
                       (albedo_s[nlay], src_s[nlay]), unroll=False)
 
     # --- Phase C: downward diffuse sweep, fusing the broadband sums -------
@@ -136,7 +136,7 @@ def _sw_kernel(params_ref, t_first_ref, table_ref, ray_ref, solar_ref,
         return dn
 
     zero_dn = jnp.zeros_like(dir_top)
-    jax.lax.fori_loop(0, nlay, dn_sweep, zero_dn, unroll=False)
+    common.fori32(0, nlay, dn_sweep, zero_dn, unroll=False)
 
 
 def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,

@@ -66,6 +66,42 @@ def shard_batch(arrays, mesh: Mesh):
     return placed, ncol
 
 
+def shard_columns_call(fn, mesh: Mesh, args, ncol: int):
+    """Run ``fn(*args)`` as an SPMD program over the columns mesh.
+
+    Every pytree leaf whose leading axis equals ``ncol`` is split over the
+    ``columns`` axis; everything else (lookup tables, scalars) is
+    replicated.  This is the bridge that lets the fused Pallas kernels —
+    which are per-device programs — scale over a pod slice: each device
+    runs the kernel on its column shard, and no collectives are needed
+    because the physics is column-independent.
+
+    ``ncol`` must divide the mesh size (see shard_batch / pad_columns).
+    Outputs must have a leading column axis.
+    """
+    try:
+        from jax import shard_map  # JAX >= 0.6
+    except ImportError:  # pragma: no cover - older JAX
+        from jax.experimental.shard_map import shard_map
+
+    def spec_of(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == ncol:
+            return P(COLUMNS)
+        return P()
+
+    in_specs = jax.tree_util.tree_map(spec_of, args)
+    # check_vma off: scan carries built from replicated inputs (e.g. the
+    # zero TOA incidence) trip the varying-manual-axes checker even though
+    # the program is valid per-shard.
+    try:
+        wrapped = shard_map(fn, mesh=mesh, in_specs=in_specs,
+                            out_specs=P(COLUMNS), check_vma=False)
+    except TypeError:  # pragma: no cover - older JAX kwarg name
+        wrapped = shard_map(fn, mesh=mesh, in_specs=in_specs,
+                            out_specs=P(COLUMNS), check_rep=False)
+    return wrapped(*args)
+
+
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:

@@ -1,0 +1,115 @@
+"""Native C++ netCDF3 engine vs scipy.io.netcdf parity."""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+from scipy.io import netcdf_file
+
+from conftest import LW_FSCK, LW_RRTMGP, SW_WIDE
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="session", autouse=True)
+def build_native():
+    subprocess.run(["make", "-C", os.path.join(REPO, "native")], check=True,
+                   capture_output=True)
+
+
+def _native():
+    from ecckd_tpu.io import nc3_native
+    assert nc3_native.load_library() is not None
+    return nc3_native
+
+
+@pytest.mark.parametrize("path", [LW_FSCK, LW_RRTMGP, SW_WIDE])
+def test_reader_matches_scipy(path):
+    nc3 = _native()
+    ref = netcdf_file(path, mmap=False)
+    with nc3.NativeReader(path) as r:
+        assert r.dimensions == dict(ref.dimensions)
+        assert set(r.var_names) == set(ref.variables)
+        for name, var in ref.variables.items():
+            got = r.read(name)
+            want = np.asarray(var.data).astype(np.float64)
+            assert got.shape == want.shape, name
+            np.testing.assert_array_equal(got, want, err_msg=name)
+        # global attribute text parity (the loader's gas-list contract)
+        for att in ("constituent_id", "composite_constituent_id"):
+            want_att = getattr(ref, att)
+            if isinstance(want_att, bytes):
+                want_att = want_att.decode()
+            assert r.att_text(None, att) == want_att
+    ref.close()
+
+
+def test_reader_var_units_attribute(tmp_path):
+    nc3 = _native()
+    from ecckd_tpu.io.rfmip import write_synthetic_rfmip
+    p = str(tmp_path / "rfmip.nc")
+    write_synthetic_rfmip(p, nsite=7, nlay=13, nexp=2)
+    ref = netcdf_file(p, mmap=False)
+    with nc3.NativeReader(p) as r:
+        for name, var in ref.variables.items():
+            np.testing.assert_array_equal(
+                r.read(name), np.asarray(var.data).astype(np.float64),
+                err_msg=name)
+            units = getattr(var, "units", None)
+            if units is not None:
+                if isinstance(units, bytes):
+                    units = units.decode()
+                assert r.att_text(name, "units") == units
+    ref.close()
+
+
+def test_writer_roundtrip(tmp_path):
+    nc3 = _native()
+    p = str(tmp_path / "out.nc")
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((3, 5, 4))
+    b = rng.standard_normal((5,)).astype(np.float32)
+    w = nc3.NativeWriter(p)
+    w.def_dim("x", 3)
+    w.def_dim("y", 5)
+    w.def_dim("z", 4)
+    w.def_var("a", "d", ("x", "y", "z"))
+    w.def_var("b", "f", ("y",))
+    w.put_att("a", "units", "W m-2")
+    w.put_att(None, "title", "roundtrip")
+    w.put_var("a", a)
+    w.put_var("b", b)
+    w.finish()
+
+    # scipy must read back what the native writer produced.
+    f = netcdf_file(p, mmap=False)
+    np.testing.assert_array_equal(np.asarray(f.variables["a"].data), a)
+    np.testing.assert_allclose(np.asarray(f.variables["b"].data), b,
+                               rtol=1e-7)
+    units = f.variables["a"].units
+    assert (units.decode() if isinstance(units, bytes) else units) == "W m-2"
+    f.close()
+    # ... and so must the native reader.
+    with nc3.NativeReader(p) as r:
+        np.testing.assert_array_equal(r.read("a"), a)
+        assert r.att_text(None, "title") == "roundtrip"
+
+
+def test_update_var_template_fill(tmp_path):
+    """In-place variable overwrite, the reference's CMIP-template fill
+    pattern (mo_rfmip_io.F90:288-317)."""
+    nc3 = _native()
+    p = str(tmp_path / "tmpl.nc")
+    w = nc3.NativeWriter(p)
+    w.def_dim("expt", 2)
+    w.def_dim("site", 3)
+    w.def_dim("level", 4)
+    w.def_var("rlu", "f", ("expt", "site", "level"))
+    w.put_var("rlu", np.zeros((2, 3, 4)))
+    w.finish()
+    data = np.arange(24, dtype=np.float64).reshape(2, 3, 4)
+    nc3.update_var(p, "rlu", data)
+    f = netcdf_file(p, mmap=False)
+    np.testing.assert_allclose(np.asarray(f.variables["rlu"].data), data,
+                               rtol=1e-6)
+    f.close()

@@ -111,3 +111,24 @@ def test_uneven_columns_padded(lw_model, batch):
         lw_model, p, tl, tv, ts, e, c))(*placed, padded_concs)
     np.testing.assert_array_equal(np.asarray(sharded.flux_up)[:ncol],
                                   np.asarray(single.flux_up))
+
+
+def test_shard_map_columns_call(lw_model, batch):
+    """shard_columns_call (the fused-kernel multi-chip bridge) matches
+    unsharded execution; each device sees only its column shard."""
+    atm, concs = batch
+    ncol = atm["tlay"].shape[0]
+    emis = np.full(ncol, 0.98)
+    args = (atm["plev"], atm["tlay"], atm["tlev"], atm["tsfc"], emis, concs)
+    single = jax.jit(lambda *a: lw_fluxes(lw_model, *a))(*args)
+
+    mesh = pmesh.make_column_mesh()
+
+    def fn(plev, tlay, tlev, tsfc, e, c):
+        out = lw_fluxes(lw_model, plev, tlay, tlev, tsfc, e, c)
+        return out.flux_up, out.flux_dn
+
+    up, dn = jax.jit(lambda *a: pmesh.shard_columns_call(
+        fn, mesh, a, ncol))(*args)
+    np.testing.assert_array_equal(np.asarray(up), np.asarray(single.flux_up))
+    np.testing.assert_array_equal(np.asarray(dn), np.asarray(single.flux_dn))
