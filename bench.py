@@ -86,19 +86,25 @@ def run_bench(mode: str) -> None:
     args = {k: jax.device_put(v) for k, v in b.items() if k != "concs"}
     concs = jax.device_put(b["concs"])
 
+    import jax.numpy as jnp
+
     def step():
         f1 = lw_step(lw_dev, args["plev"], args["tlay"], args["tlev"],
                      args["tsfc"], args["emis"], concs)
         f2 = sw_step(sw_dev, args["plev"], args["tlay"], concs, args["alb"],
                      args["tsi"], args["sza"])
-        return f1, f2
+        # A scalar derived from both outputs: fetching it host-side is the
+        # only reliable completion barrier (on relayed TPU transports,
+        # block_until_ready can return before the device executes).
+        return jnp.sum(f1.flux_up[:, 0]) + jnp.sum(f2.flux_up[:, 0])
 
     for _ in range(warmup):
-        jax.block_until_ready(step())
+        float(step())
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step()
-    jax.block_until_ready(out)
+    acc = step()
+    for _ in range(iters - 1):
+        acc = acc + step()
+    float(acc)  # device->host fetch: true end-to-end completion
     dt = time.perf_counter() - t0
     cols_per_sec = ncol * iters / dt
 
