@@ -38,6 +38,10 @@ def make_parser(prog: str) -> argparse.ArgumentParser:
                    help="Working precision (f64 for Fortran-parity runs)")
     p.add_argument("--no-shard", action="store_true",
                    help="Disable column sharding over the device mesh")
+    p.add_argument("--backend", default="auto",
+                   choices=("auto", "fused", "xla"),
+                   help="Compute path: fused Pallas mega-kernels, plain "
+                        "XLA, or auto (fused on TPU at f32)")
     return p
 
 
@@ -91,6 +95,23 @@ def place_on_mesh(arrays, use_mesh: bool):
     m = pmesh.make_column_mesh()
     placed, _ = pmesh.shard_batch(arrays, m)
     return placed, m
+
+
+def solve_with_fallback(solve, backend: str):
+    """Run ``solve(backend)``; when the auto-selected fused Pallas path
+    fails to compile (e.g. a transient remote-compile failure or a Mosaic
+    version skew on an unusual shape), fall back to the always-available
+    XLA path instead of failing the run.  Explicit --backend choices are
+    honored without fallback."""
+    if backend != "auto":
+        return solve(backend)
+    try:
+        return solve("auto")
+    except Exception as e:  # compile/runtime failure of the fused path
+        print(" WARNING: fused-kernel path failed "
+              f"({type(e).__name__}: {str(e).splitlines()[0][:120]}); "
+              "retrying with the XLA path", file=sys.stderr)
+        return solve("xla")
 
 
 class Timer:

@@ -44,9 +44,6 @@ def main(argv=None) -> int:
     # The model is a jit *argument* (placed on device once), never a
     # closure: closure constants are fetched back from the device at
     # lowering time, which costs minutes over a remote TPU transport.
-    fn = functools.partial(lw_fluxes, n_gauss_angles=n_quad_angles,
-                           top_at_1=top_at_1)
-    jfn = jax.jit(fn)
     model_dev = jax.device_put(model)
     arrays, _ = common.place_on_mesh(
         [plev, data.tlay.astype(dtype), data.tlev.astype(dtype),
@@ -54,10 +51,16 @@ def main(argv=None) -> int:
         not args.no_shard)
     concs_dev = jax.device_put(concs)
 
-    with common.Timer("lw flux solve"):
-        fluxes = jfn(model_dev, arrays[0], arrays[1], arrays[2], arrays[3],
-                     arrays[4], concs_dev)
+    def solve(backend):
+        fn = functools.partial(lw_fluxes, n_gauss_angles=n_quad_angles,
+                               top_at_1=top_at_1, backend=backend)
+        fluxes = jax.jit(fn)(model_dev, arrays[0], arrays[1], arrays[2],
+                             arrays[3], arrays[4], concs_dev)
         jax.block_until_ready(fluxes)
+        return fluxes
+
+    with common.Timer("lw flux solve"):
+        fluxes = common.solve_with_fallback(solve, args.backend)
 
     up = np.asarray(fluxes.flux_up)[:data.ncol]
     dn = np.asarray(fluxes.flux_dn)[:data.ncol]

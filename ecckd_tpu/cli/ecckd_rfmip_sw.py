@@ -38,8 +38,6 @@ def main(argv=None) -> int:
     concs = common.build_gas_concs(data, dtype)
 
     # Model passed as a jit argument, not a closure (see ecckd_rfmip_lw.py).
-    fn = functools.partial(sw_fluxes, top_at_1=top_at_1)
-    jfn = jax.jit(fn)
     model_dev = jax.device_put(model)
     arrays, _ = common.place_on_mesh(
         [plev, data.tlay.astype(dtype), data.sfc_alb.astype(dtype),
@@ -47,10 +45,16 @@ def main(argv=None) -> int:
         not args.no_shard)
     concs_dev = jax.device_put(concs)
 
-    with common.Timer("sw flux solve"):
-        fluxes = jfn(model_dev, arrays[0], arrays[1], concs_dev, arrays[2],
-                     arrays[3], arrays[4])
+    def solve(backend):
+        fn = functools.partial(sw_fluxes, top_at_1=top_at_1,
+                               backend=backend)
+        fluxes = jax.jit(fn)(model_dev, arrays[0], arrays[1], concs_dev,
+                             arrays[2], arrays[3], arrays[4])
         jax.block_until_ready(fluxes)
+        return fluxes
+
+    with common.Timer("sw flux solve"):
+        fluxes = common.solve_with_fallback(solve, args.backend)
 
     up = np.asarray(fluxes.flux_up)[:data.ncol]
     dn = np.asarray(fluxes.flux_dn)[:data.ncol]

@@ -1,0 +1,116 @@
+"""Weak-scaling benchmark driver: ~1M-column RFMIP workload, chunked.
+
+BASELINE config 5: replicate RFMIP-shaped columns to ``--columns`` total,
+stream them through the combined LW+SW flux solve in ``--chunk``-column
+chunks sharded over the local column mesh, with host-side output writes
+overlapped against device compute (parallel/scale.py).  Prints one JSON
+metrics line.
+
+Example:
+    python -m ecckd_tpu.cli.scale_bench --columns 1048576 --chunk 65536
+    python -m ecckd_tpu.cli.scale_bench --columns 65536 --out-dir /tmp/flx
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+LW_FILE = ("/root/reference/data/"
+           "ecckd-1.2_lw_ckd-definition_climate_fsck-tol0.0161.nc")
+SW_FILE = ("/root/reference/data/"
+           "ecckd-1.2_sw_ckd-definition_climate_wide-tol0.05.nc")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="scale_bench",
+        description="Chunked weak-scaling LW+SW flux benchmark")
+    p.add_argument("--columns", type=int, default=1_048_576,
+                   help="Total columns to process")
+    p.add_argument("--chunk", type=int, default=65_536,
+                   help="Columns per streamed chunk")
+    p.add_argument("--nlay", type=int, default=60)
+    p.add_argument("--lw-file", default=LW_FILE)
+    p.add_argument("--sw-file", default=SW_FILE)
+    p.add_argument("--out-dir", default=None,
+                   help="If set, write rlu/rld/rsu/rsd .npy memmaps there "
+                        "(host writes overlap device compute)")
+    p.add_argument("--no-shard", action="store_true")
+    args = p.parse_args(argv)
+    if args.columns % args.chunk:
+        p.error("--columns must be divisible by --chunk")
+
+    from ecckd_tpu.cli.common import setup_compilation_cache
+    setup_compilation_cache()
+
+    import jax
+    from ecckd_tpu.models.loader import load_ckd_model
+    from ecckd_tpu.parallel import mesh as pmesh
+    from ecckd_tpu.parallel.scale import place_pytree, run_weak_scaling
+    from ecckd_tpu.pipeline import lw_fluxes, sw_fluxes
+    from __graft_entry__ import _example_batch
+
+    dtype = np.float32
+    mesh = None
+    if not args.no_shard and len(jax.devices()) > 1:
+        mesh = pmesh.make_column_mesh()
+
+    lw = place_pytree(load_ckd_model(args.lw_file, dtype=dtype), mesh, -1)
+    sw = place_pytree(load_ckd_model(args.sw_file, dtype=dtype), mesh, -1)
+
+    @jax.jit
+    def step(lw_m, sw_m, plev, tlay, tlev, tsfc, emis, alb, tsi, sza, concs):
+        flw = lw_fluxes(lw_m, plev, tlay, tlev, tsfc, emis, concs,
+                        n_gauss_angles=1)
+        fsw = sw_fluxes(sw_m, plev, tlay, concs, alb, tsi, sza)
+        return (flw.flux_up, flw.flux_dn, fsw.flux_up, fsw.flux_dn)
+
+    # Weak-scaling input: one RFMIP-shaped base chunk, device-placed ONCE;
+    # per-chunk only the surface temperature is re-uploaded (perturbed so
+    # chunks are not byte-identical, guarding against accidental result
+    # caching).  This models the production streaming pattern where the
+    # reader uploads each chunk's deltas while the device computes.
+    base = _example_batch(args.chunk, args.nlay, dtype)
+    batch = place_pytree(
+        (base["plev"], base["tlay"], base["tlev"], base["tsfc"],
+         base["emis"], base["alb"], base["tsi"], base["sza"],
+         base["concs"]), mesh, args.chunk)
+
+    def chunk_builder(i):
+        tsfc = base["tsfc"] + dtype(0.01) * dtype(i % 7)
+        return (lw, sw, batch[0], batch[1], batch[2], tsfc, *batch[4:])
+
+    consume = None
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+        nlev = args.nlay + 1
+        maps = {name: np.lib.format.open_memmap(
+                    os.path.join(args.out_dir, f"{name}.npy"), mode="w+",
+                    dtype=dtype, shape=(args.columns, nlev))
+                for name in ("rlu", "rld", "rsu", "rsd")}
+
+        def consume(host_outs, i):
+            s = slice(i * args.chunk, (i + 1) * args.chunk)
+            for name, arr in zip(("rlu", "rld", "rsu", "rsd"), host_outs):
+                maps[name][s] = arr
+
+    n_chunks = args.columns // args.chunk
+    metrics = run_weak_scaling(step, chunk_builder, n_chunks, args.chunk,
+                               mesh=mesh, consume=consume, warmup=1)
+    if args.out_dir:
+        for m in maps.values():
+            m.flush()
+
+    metrics = {k: (round(v, 4) if isinstance(v, float) else v)
+               for k, v in metrics.items()}
+    print(json.dumps({"metric": "weak_scaling_lw+sw_throughput",
+                      "unit": "columns/s", **metrics}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -101,6 +101,20 @@ def exp_accurate(x: jax.Array) -> jax.Array:
     return jnp.where(x < F32(-87.0), F32(0.0), out)
 
 
+def expm1_accurate(x: jax.Array) -> jax.Array:
+    """float32 expm1 inside a Mosaic kernel: exp(x) - 1 without the
+    catastrophic cancellation at |x| << 1 (where exp(x) ~ 1).  For
+    |x| < 1/16 a degree-5 Taylor series is exact to < 0.5 ulp
+    (truncation x^5/720 relative to x -> ~2e-8 at the branch point);
+    elsewhere the subtraction is benign."""
+    p = F32(1.0 / 120.0)
+    for c in (1.0 / 24.0, 1.0 / 6.0, 0.5, 1.0):
+        p = p * x + F32(c)
+    small = x * p
+    return jnp.where(jnp.abs(x) < F32(1.0 / 16.0), small,
+                     exp_accurate(x) - F32(1.0))
+
+
 def pltpu_bitcast(x, dtype):
     """Bitcast that works both in Mosaic and in interpret/CPU mode."""
     return jax.lax.bitcast_convert_type(x, dtype)

@@ -63,18 +63,24 @@ def _sw_kernel(params_ref, t_first_ref, table_ref, ray_ref, solar_ref,
         tau = tau_gas + tau_ray
         ssa = tau_ray / jnp.maximum(tau, tiny)
 
-        # Two-stream with g = 0 (solvers/two_stream.py specialization).
+        # Two-stream with g = 0 (solvers/two_stream.py specialization),
+        # in the cancellation-free complement form (see that module's
+        # derivation): em1 = 1-e, m1 = 1-e^2, tm1 = 1-t, built via expm1
+        # so the conservative limit (ssa -> 1, k tau -> 0) keeps f32
+        # single-ulp accuracy instead of losing ~eps/(k tau).
         gamma1 = (8.0 - ssa * 5.0) * 0.25
         gamma2 = 3.0 * ssa * 0.25
         k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2),
                                  F32(1e-12)))
-        exp_mktau = common.exp_accurate(-k * tau)
-        exp_m2ktau = exp_mktau * exp_mktau
-        rt_term = 1.0 / (k * (1.0 + exp_m2ktau)
-                         + gamma1 * (1.0 - exp_m2ktau))
-        r_dif = rt_term * gamma2 * (1.0 - exp_m2ktau)
+        em1 = -common.expm1_accurate(-k * tau)
+        m1 = em1 * (2.0 - em1)
+        exp_mktau = 1.0 - em1
+        exp_m2ktau = 1.0 - m1
+        rt_term = 1.0 / (k * (1.0 + exp_m2ktau) + gamma1 * m1)
+        r_dif = rt_term * gamma2 * m1
         t_dif = rt_term * 2.0 * k * exp_mktau
-        t_noscat = common.exp_accurate(-tau * inv_mu0)
+        tm1 = -common.expm1_accurate(-tau * inv_mu0)
+        t_noscat = 1.0 - tm1
 
         k_mu = k * mu0
         # g == 0: gamma3 = gamma4 = 1/2, alpha1 = alpha2 = (g1+g2)/2.
@@ -83,14 +89,11 @@ def _sw_kernel(params_ref, t_first_ref, table_ref, ray_ref, solar_ref,
         denom = 1.0 - k_mu * k_mu
         denom = jnp.where(jnp.abs(denom) >= eps, denom, eps)
         rt2 = ssa * rt_term / denom
-        r_dir = rt2 * ((1.0 - k_mu) * (alpha + k_half)
-                       - (1.0 + k_mu) * (alpha - k_half) * exp_m2ktau
-                       - 2.0 * (k_half - alpha * k_mu) * exp_mktau
-                       * t_noscat)
-        t_dir = -rt2 * ((1.0 + k_mu) * (alpha + k_half) * t_noscat
-                        - (1.0 - k_mu) * (alpha - k_half) * exp_m2ktau
-                        * t_noscat
-                        - 2.0 * (k_half + alpha * k_mu) * exp_mktau)
+        q = em1 * em1 + 2.0 * exp_mktau * tm1
+        s = em1 * em1 - tm1 * (1.0 + exp_m2ktau)
+        r_dir = rt2 * (alpha * (m1 - k_mu * q) + k_half * (q - k_mu * m1))
+        t_dir = -rt2 * (alpha * (t_noscat * m1 + k_mu * s)
+                        + k_half * (s + k_mu * t_noscat * m1))
         r_dir = jnp.clip(r_dir, F32(0.0), 1.0 - t_noscat)
         t_dir = jnp.clip(t_dir, F32(0.0), 1.0 - t_noscat - r_dir)
 

@@ -45,30 +45,43 @@ def two_stream(tau: jax.Array, ssa: jax.Array, g: jax.Array,
     alpha2 = gamma1 * gamma3 + gamma2 * gamma4
 
     k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2), 1e-12))
-    exp_mktau = jnp.exp(-k * tau)
-    exp_m2ktau = exp_mktau * exp_mktau
+    # In the conservative limit (ssa -> 1, k*tau -> 0) the classical forms
+    # difference O(1) exponentials, losing ~eps/(k*tau) relative accuracy —
+    # a >1% broadband energy error at f32.  Everything below is therefore
+    # built from the *complements* (computed cancellation-free via expm1):
+    #   em1 = 1 - e,  m1 = 1 - e^2,  tm1 = 1 - t,
+    #   q = 1 + e^2 - 2 e t = (1-e)^2 + 2 e (1-t)
+    #   s = t (1 + e^2) - 2 e = (1-e)^2 - (1-t)(1 + e^2)
+    # with e = exp(-k tau), t = exp(-tau/mu0).
+    em1 = -jnp.expm1(-k * tau)
+    m1 = em1 * (2.0 - em1)
+    exp_mktau = 1.0 - em1
+    exp_m2ktau = 1.0 - m1
 
-    # Diffuse R/T, written to avoid cancellation between k and gamma1 terms.
-    rt_term = 1.0 / (k * (1.0 + exp_m2ktau) + gamma1 * (1.0 - exp_m2ktau))
-    r_dif = rt_term * gamma2 * (1.0 - exp_m2ktau)
+    rt_term = 1.0 / (k * (1.0 + exp_m2ktau) + gamma1 * m1)
+    r_dif = rt_term * gamma2 * m1
     t_dif = rt_term * 2.0 * k * exp_mktau
 
-    t_noscat = jnp.exp(-tau / mu0b)
+    tm1 = -jnp.expm1(-tau / mu0b)
+    t_noscat = 1.0 - tm1
 
-    # Direct-beam R / diffuse-T (Meador-Weaver eqs 14-15), with the resonance
-    # denominator 1 - (k*mu0)^2 guarded against division by ~0.
+    # Direct-beam R / diffuse-T: exact regrouping of Meador-Weaver eqs
+    # 14-15 (expand to verify):
+    #   R = rt2 [alpha2 (m1 - k mu q) + k g3 (q - k mu m1)]
+    #   T = -rt2 [alpha1 (t m1 + k mu s) + k g4 (s + k mu t m1)]
+    # where every factor is O(of its own size) rather than a difference of
+    # O(1) terms.  Resonance denominator 1 - (k mu0)^2 guarded against ~0.
     k_mu = k * mu0b
     k_g3 = k * gamma3
     k_g4 = k * gamma4
     denom = 1.0 - k_mu * k_mu
     denom = jnp.where(jnp.abs(denom) >= eps, denom, eps)
     rt2 = ssa * rt_term / denom
-    r_dir = rt2 * ((1.0 - k_mu) * (alpha2 + k_g3)
-                   - (1.0 + k_mu) * (alpha2 - k_g3) * exp_m2ktau
-                   - 2.0 * (k_g3 - alpha2 * k_mu) * exp_mktau * t_noscat)
-    t_dir = -rt2 * ((1.0 + k_mu) * (alpha1 + k_g4) * t_noscat
-                    - (1.0 - k_mu) * (alpha1 - k_g4) * exp_m2ktau * t_noscat
-                    - 2.0 * (k_g4 + alpha1 * k_mu) * exp_mktau)
+    q = em1 * em1 + 2.0 * exp_mktau * tm1
+    s = em1 * em1 - tm1 * (1.0 + exp_m2ktau)
+    r_dir = rt2 * (alpha2 * (m1 - k_mu * q) + k_g3 * (q - k_mu * m1))
+    t_dir = -rt2 * (alpha1 * (t_noscat * m1 + k_mu * s)
+                    + k_g4 * (s + k_mu * t_noscat * m1))
 
     # Energy safety: the direct beam is either reflected, transmitted
     # unscattered, or transmitted diffusely; the rest is absorbed.

@@ -72,6 +72,28 @@ def test_sw_conservative_atmosphere_no_absorption():
     np.testing.assert_allclose(up[:, -1], 0.0, atol=1e-9)
 
 
+def test_sw_conservative_f32_energy_closure():
+    """Conservative limit at SINGLE precision: pure scattering over a
+    perfectly reflecting surface returns all energy to space.  The naive
+    Meador-Weaver forms lose ~eps/(k*tau) here (a 2% f32 energy error);
+    the complement/expm1 regrouping in solvers/two_stream.py must hold
+    closure to a few f32 ulps."""
+    ncol, nlay, ngpt = 4, 30, 8
+    rng = np.random.default_rng(9)
+    f32 = np.float32
+    tau = (10.0 ** rng.uniform(-5, -0.5, (ncol, nlay, ngpt))).astype(f32)
+    ssa = np.ones_like(tau)
+    g = np.zeros_like(tau)
+    mu0 = np.array([1.0, 0.7, 0.3, 0.05], f32)
+    toa = np.full((ncol, ngpt), 100.0, f32)
+    alb = np.ones((ncol, ngpt), f32)
+    up, dn, _ = rte_sw(OpticalProps2str(tau=tau, ssa=ssa, g=g), mu0, toa,
+                       alb, alb)
+    up, dn = np.asarray(up), np.asarray(dn)
+    assert up.dtype == np.float32
+    np.testing.assert_allclose(up[:, 0], dn[:, 0], rtol=2e-6)
+
+
 def test_sw_vacuum_beam():
     """tau -> 0: direct beam passes through untouched; no diffuse."""
     ncol, nlay, ngpt = 2, 8, 3
