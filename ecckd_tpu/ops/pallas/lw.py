@@ -89,9 +89,11 @@ def _lw_kernel(params_ref, t_first_ref, table_ref, planck_t_ref,
 
         def down_body(j, rad):
             ts = tau_s[j] * sec
-            tr = common.exp_accurate(-ts)
+            # 1 - exp(-ts) via expm1 (cancellation-free for thin layers,
+            # matching solvers/lw.py's XLA path).
+            omt = -common.expm1_accurate(-ts)
+            tr = 1.0 - omt
             trans_s[j] = tr
-            omt = 1.0 - tr
             lay = play_s[j]
             lev_inc = plevs_s[j + 1]
             lev_dec = plevs_s[j]
