@@ -153,6 +153,34 @@ def matmul_f32(a: jax.Array, b: jax.Array) -> jax.Array:
     return dot(a_hi, b_hi) + (dot(a_lo, b_hi) + dot(a_hi, b_lo))
 
 
+def split_bf16(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Two-part bf16 split: hi + lo reproduces ``a`` to ~16 mantissa bits.
+    Used to hoist the lhs split of matmul_f32 out of kernel loops when the
+    lhs is loop-invariant (the stacked gas table, the Planck table)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(F32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def matmul_presplit(a_hi: jax.Array, a_lo: jax.Array, b: jax.Array
+                    ) -> jax.Array:
+    """matmul_f32 with the lhs bf16 split precomputed (see split_bf16).
+
+    In the fused kernels the lhs is the same table for every layer, so
+    splitting it per call would redo 2 casts over the full table each
+    iteration on the VPU; only the rhs (the per-layer one-hot) is split
+    here.  Respects ECCKD_MXU_PRECISION like matmul_f32."""
+    if _MXU_MODE != "bf16x3":
+        return matmul_f32(a_hi.astype(F32) + a_lo.astype(F32), b)
+    dn = (((1,), (0,)), ((), ()))
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(F32)).astype(jnp.bfloat16)
+    dot = lambda x, y: jax.lax.dot_general(
+        x, y, dimension_numbers=dn, precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=F32)
+    return dot(a_hi, b_hi) + (dot(a_lo, b_hi) + dot(a_hi, b_lo))
+
+
 def pressure_temperature_index(log_p, t_lay, t_first_ref, log_p0, inv_dlogp,
                                inv_dt, n_p, n_t):
     """Per-column interpolation points for one layer.
@@ -174,10 +202,10 @@ def pressure_temperature_index(log_p, t_lay, t_first_ref, log_p0, inv_dlogp,
     return i0p, wp1, i0t, wt1
 
 
-def gas_tau_layer(j, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
-                  table_ref, log_p0, inv_dlogp, inv_dt, log_mf0, inv_dlogv,
-                  plan, mpp):
-    """Total gas optical depth of layer ``j`` for one column tile.
+def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
+                  table_hi_ref, table_lo_ref, log_p0, inv_dlogp, inv_dt,
+                  log_mf0, inv_dlogv, plan, mpp):
+    """Total gas optical depth of one LAYER BLOCK for one column tile.
 
     The fused equivalent of the reference per-gas loop
     (gas_optics_ecckd.f90:323-376): one MXU contraction against the stacked
@@ -185,41 +213,50 @@ def gas_tau_layer(j, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
     non-negativity clamp applied to the weights (valid because every table
     is non-negative; see ops/pallas/plan.py).
 
-    ``logp_ref`` (nlay, C) holds ln(layer pressure) and ``vmr_ref``'s LUT
-    log-rows hold ln(max(vmr, mf0)) — both precomputed outside the kernel
-    because Mosaic's log approximation (~3e-4 rel) is too coarse for index
-    arithmetic.  ``dp_ref`` (nlay, C) holds the level-pressure differences.
+    Layer blocking: inputs are laid out (n_blocks, LB*C) with LB layers
+    flattened onto the lane axis of each block row, so the one-hot build and
+    the MXU contraction run over LB*C lanes at once.  Per-layer (npt, C)
+    matmuls are latency-bound (~50% MXU idle between tiny dispatches);
+    batching LB layers into one (K, npt) @ (npt, LB*C) contraction measured
+    ~4x faster at LB = 10.
 
-    Returns (tau_j (NG, C), d_p (1, C)).
+    ``logp_ref`` holds ln(layer pressure) and ``vmr_ref``'s LUT log-rows
+    hold ln(max(vmr, mf0)) — both precomputed outside the kernel because
+    Mosaic's log approximation (~3e-4 rel) is too coarse for index
+    arithmetic.  ``dp_ref`` holds the level-pressure differences (zero on
+    padded layer rows, making their tau exactly zero).
+
+    Returns (tau_blk (NG, LB*C), d_p (1, LB*C)).
     """
     import jax.experimental.pallas as pl  # local to keep module importable
 
     ng, npt = plan.ng_pad, plan.npt_pad
-    log_p = logp_ref[pl.ds(j, 1), :]
-    d_p = dp_ref[pl.ds(j, 1), :]
-    t_lay = tlay_ref[pl.ds(j, 1), :]
+    log_p = logp_ref[pl.ds(b, 1), :]
+    d_p = dp_ref[pl.ds(b, 1), :]
+    t_lay = tlay_ref[pl.ds(b, 1), :]
     i0p, wp1, i0t, wt1 = pressure_temperature_index(
         log_p, t_lay, t_first_ref[...], log_p0, inv_dlogp, inv_dt,
         plan.n_p, plan.n_t)
     oh = pt_onehot(npt, plan.n_t, i0p, wp1, i0t, wt1)
-    coeff = matmul_f32(table_ref[...], oh)          # (K, C)
+    coeff = matmul_presplit(table_hi_ref[...], table_lo_ref[...],
+                            oh)                     # (K, C)
     sw = mpp * d_p
 
     n_lut = plan.lut_sizes[0] if plan.lut_sizes else 0
     h2o_slot = next((s.vmr_slot for s in plan.slices if s.kind == "lut"), -1)
     if h2o_slot >= 0:
         log_slot = plan.lut_log_slots[0]
-        vmr_h2o = vmr_ref[h2o_slot, j, :][None, :]
-        lv = vmr_ref[log_slot, j, :][None, :]
+        vmr_h2o = vmr_ref[h2o_slot, b, :][None, :]
+        lv = vmr_ref[log_slot, b, :][None, :]
         i0v, wv1 = frac_index((lv - log_mf0) * inv_dlogv, n_lut, clamp=1.001)
         w_h2o = sw * vmr_h2o
 
-    tau_j = jnp.zeros((ng, coeff.shape[1]), F32)
+    tau_blk = jnp.zeros((ng, coeff.shape[1]), F32)
     for s, sl in enumerate(plan.slices):
         block = coeff[s * ng:(s + 1) * ng, :]
         if sl.kind == "dense":
             if sl.vmr_slot >= 0:
-                vm = vmr_ref[sl.vmr_slot, j, :][None, :]
+                vm = vmr_ref[sl.vmr_slot, b, :][None, :]
                 w = sw * (F32(sl.a) * vm + F32(sl.b))
             else:
                 w = sw * F32(sl.b)
@@ -231,12 +268,12 @@ def gas_tau_layer(j, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
             wv = (jnp.where(i0v == v, 1.0 - wv1, F32(0.0))
                   + jnp.where(i0v + 1 == v, wv1, F32(0.0)))
             w = w_h2o * wv
-        tau_j += w * block
-    return tau_j, d_p
+        tau_blk += w * block
+    return tau_blk, d_p
 
 
-def planck_eval(t_row, planck_t_ref, planck_row0_ref, t0, inv_dt, n_planck,
-                npl_pad, inv_pi):
+def planck_eval(t_row, planck_hi_ref, planck_lo_ref, planck_row0_ref, t0,
+                inv_dt, n_planck, npl_pad, inv_pi):
     """Planck intensity (NG, C) for temperatures t_row (1, C).
 
     Mirrors ops/planck.py: linear interp with top-end linear extrapolation
@@ -247,6 +284,6 @@ def planck_eval(t_row, planck_t_ref, planck_row0_ref, t0, inv_dt, n_planck,
     i0 = jnp.clip(jnp.floor(idx), F32(0.0), F32(n_planck - 2.0)).astype(I32)
     w1 = idx - i0.astype(idx.dtype)
     oh = pair_onehot(npl_pad, i0, w1)
-    interp = matmul_f32(planck_t_ref[...], oh)
+    interp = matmul_presplit(planck_hi_ref[...], planck_lo_ref[...], oh)
     below = (t_row / t0) * planck_row0_ref[...]
     return jnp.where(idx >= F32(0.0), interp, below) * inv_pi

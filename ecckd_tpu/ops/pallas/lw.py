@@ -39,13 +39,15 @@ P_LOG_P0, P_INV_DLOGP, P_INV_DT, P_PLANCK_T0, P_INV_PLANCK_DT, \
     P_LOG_MF0, P_INV_DLOGV, P_NPARAMS = range(8)
 
 
-def _lw_kernel(params_ref, t_first_ref, table_ref, planck_t_ref,
+def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
+               planck_hi_ref, planck_lo_ref,
                planck_row0_ref, logp_ref, dp_ref, tlay_ref, tlev_ref,
                tsfc_ref, emis_ref, vmr_ref, up_ref, dn_ref,
                tau_s, play_s, plevs_s, trans_s, srcup_s, *,
                plan: plan_mod.GasOpticsPlan, nlay: int, n_planck: int,
                npl_pad: int, secants: Tuple[float, ...],
-               weights: Tuple[float, ...]):
+               weights: Tuple[float, ...], lb: int, n_blk: int,
+               n_blk_lev: int, ctile: int):
     log_p0 = params_ref[P_LOG_P0]
     inv_dlogp = params_ref[P_INV_DLOGP]
     inv_dt = params_ref[P_INV_DT]
@@ -57,59 +59,104 @@ def _lw_kernel(params_ref, t_first_ref, table_ref, planck_t_ref,
     inv_pi = F32(1.0 / constants.PI)
 
     planck = functools.partial(
-        common.planck_eval, planck_t_ref=planck_t_ref,
+        common.planck_eval, planck_hi_ref=planck_hi_ref,
+        planck_lo_ref=planck_lo_ref,
         planck_row0_ref=planck_row0_ref, t0=planck_t0, inv_dt=inv_planck_dt,
         n_planck=n_planck, npl_pad=npl_pad, inv_pi=inv_pi)
 
-    def layer_optics(j, carry):
-        tau_j, _dp = common.gas_tau_layer(
-            j, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref, table_ref,
+    one_angle = len(secants) == 1
+    thresh = F32(float(np.sqrt(np.finfo(np.float32).eps)))
+
+    # Phase A, LAYER-BLOCKED: each iteration interpolates optics + layer
+    # Planck for ``lb`` layers at once over lb*ctile lanes (one big MXU
+    # contraction instead of lb latency-bound small ones; ~4x faster),
+    # then scatters the per-layer (NG, ctile) slices into scratch for the
+    # sequential sweeps.  In the common 1-angle case the transmittance and
+    # the linear-in-tau sources (exp, expm1, thin-layer series — the VPU-
+    # heavy per-layer math) are ALSO computed blocked here, so the sweeps
+    # below reduce to 3-op affine recurrences; tlev_ref then carries the
+    # decreasing/increasing level-edge temperatures as a (2, n_blk, lb*C)
+    # pack.  With 3 angles the per-angle transmittances would triple the
+    # scratch, so tau/planck are staged instead and the sweep computes them.
+    def optics_block(b, carry):
+        tau_blk, _dp = common.gas_tau_block(
+            b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
+            table_hi_ref, table_lo_ref,
             log_p0, inv_dlogp, inv_dt, log_mf0, inv_dlogv, plan, mpp)
-        tau_s[j] = tau_j
-        play_s[j] = planck(tlay_ref[pl.ds(j, 1), :])
+        play_blk = planck(tlay_ref[pl.ds(b, 1), :])
+        if one_angle:
+            lev_dec = planck(tlev_ref[0, pl.ds(b, 1), :])
+            lev_inc = planck(tlev_ref[1, pl.ds(b, 1), :])
+            ts = tau_blk * F32(secants[0])
+            # 1 - exp(-ts) via expm1 (cancellation-free for thin layers,
+            # matching solvers/lw.py's XLA path).
+            omt = -common.expm1_accurate(-ts)
+            tr = 1.0 - omt
+            fact = jnp.where(ts > thresh,
+                             omt / jnp.maximum(ts, thresh) - tr,
+                             ts * (0.5 - ts * (1.0 / 3.0)))
+            src_dn = omt * lev_inc + 2.0 * fact * (play_blk - lev_inc)
+            src_up = omt * lev_dec + 2.0 * fact * (play_blk - lev_dec)
+            for l in range(lb):
+                cs = slice(l * ctile, (l + 1) * ctile)
+                trans_s[b * lb + l] = tr[:, cs]
+                tau_s[b * lb + l] = src_dn[:, cs]
+                srcup_s[b * lb + l] = src_up[:, cs]
+        else:
+            for l in range(lb):
+                cs = slice(l * ctile, (l + 1) * ctile)
+                tau_s[b * lb + l] = tau_blk[:, cs]
+                play_s[b * lb + l] = play_blk[:, cs]
         return carry
 
-    common.fori32(0, nlay, layer_optics, 0, unroll=False)
+    common.fori32(0, n_blk, optics_block, 0, unroll=False)
 
-    def level_planck(j, carry):
-        plevs_s[j] = planck(tlev_ref[pl.ds(j, 1), :])
-        return carry
+    if not one_angle:
+        def level_block(b, carry):
+            pb = planck(tlev_ref[pl.ds(b, 1), :])
+            for l in range(lb):
+                plevs_s[b * lb + l] = pb[:, l * ctile:(l + 1) * ctile]
+            return carry
 
-    common.fori32(0, nlay + 1, level_planck, 0, unroll=False)
+        common.fori32(0, n_blk_lev, level_block, 0, unroll=False)
     sfc_src = planck(tsfc_ref[...])
 
     up_ref[...] = jnp.zeros_like(up_ref)
     dn_ref[...] = jnp.zeros_like(dn_ref)
     emis = emis_ref[...]
-    thresh = F32(float(np.sqrt(np.finfo(np.float32).eps)))
 
     for secant, weight in zip(secants, weights):
         sec = F32(secant)
         w2pi = F32(2.0 * constants.PI * weight)
 
-        def down_body(j, rad):
-            ts = tau_s[j] * sec
-            # 1 - exp(-ts) via expm1 (cancellation-free for thin layers,
-            # matching solvers/lw.py's XLA path).
-            omt = -common.expm1_accurate(-ts)
-            tr = 1.0 - omt
-            trans_s[j] = tr
-            lay = play_s[j]
-            lev_inc = plevs_s[j + 1]
-            lev_dec = plevs_s[j]
-            fact = jnp.where(ts > thresh,
-                             omt / jnp.maximum(ts, thresh) - tr,
-                             ts * (0.5 - ts * (1.0 / 3.0)))
-            src_dn = omt * lev_inc + 2.0 * fact * (lay - lev_inc)
-            srcup_s[j] = omt * lev_dec + 2.0 * fact * (lay - lev_dec)
-            rad = tr * rad + src_dn
-            dn_ref[pl.ds(j + 1, 1), :] += w2pi * jnp.sum(
-                rad, axis=0, keepdims=True)
-            return rad
+        if one_angle:
+            def down_body(j, rad):
+                rad = trans_s[j] * rad + tau_s[j]   # tau_s holds src_dn
+                dn_ref[pl.ds(j + 1, 1), :] += w2pi * jnp.sum(
+                    rad, axis=0, keepdims=True)
+                return rad
+        else:
+            def down_body(j, rad):
+                ts = tau_s[j] * sec
+                omt = -common.expm1_accurate(-ts)
+                tr = 1.0 - omt
+                trans_s[j] = tr
+                lay = play_s[j]
+                lev_inc = plevs_s[j + 1]
+                lev_dec = plevs_s[j]
+                fact = jnp.where(ts > thresh,
+                                 omt / jnp.maximum(ts, thresh) - tr,
+                                 ts * (0.5 - ts * (1.0 / 3.0)))
+                src_dn = omt * lev_inc + 2.0 * fact * (lay - lev_inc)
+                srcup_s[j] = omt * lev_dec + 2.0 * fact * (lay - lev_dec)
+                rad = tr * rad + src_dn
+                dn_ref[pl.ds(j + 1, 1), :] += w2pi * jnp.sum(
+                    rad, axis=0, keepdims=True)
+                return rad
 
         rad_top = jnp.zeros_like(sfc_src)
         rad_sfc_dn = common.fori32(0, nlay, down_body, rad_top,
-                                       unroll=False)
+                                       unroll=True)
         rad = emis * sfc_src + (1.0 - emis) * rad_sfc_dn
         up_ref[pl.ds(nlay, 1), :] += w2pi * jnp.sum(rad, axis=0,
                                                     keepdims=True)
@@ -121,7 +168,32 @@ def _lw_kernel(params_ref, t_first_ref, table_ref, planck_t_ref,
                                                      keepdims=True)
             return rad
 
-        common.fori32(0, nlay, up_body, rad, unroll=False)
+        common.fori32(0, nlay, up_body, rad, unroll=True)
+
+
+LAYER_BLOCK = int(os.environ.get("ECCKD_LAYER_BLOCK", "15"))
+
+
+def _block_lanes(x: jax.Array, lb: int, col_tile: int,
+                 pad_value: float | None = None) -> jax.Array:
+    """Re-lay a (rows, ncol_pad) array as (n_blk, ntiles * lb * col_tile):
+    ``lb`` consecutive rows are flattened onto the lane axis of each tile's
+    block so in-kernel ops cover lb layers at once (see gas_tau_block).
+    Rows are padded to a multiple of ``lb`` — by edge copy (valid physics)
+    or with ``pad_value`` (e.g. 0 for pressure thickness => tau == 0)."""
+    rows, ncol_pad = x.shape
+    n_blk = -(-rows // lb)
+    pad = n_blk * lb - rows
+    if pad:
+        if pad_value is None:
+            x = jnp.concatenate([x, jnp.broadcast_to(x[-1:], (pad, ncol_pad))])
+        else:
+            x = jnp.concatenate(
+                [x, jnp.full((pad, ncol_pad), pad_value, x.dtype)])
+    ntiles = ncol_pad // col_tile
+    x = x.reshape(n_blk, lb, ntiles, col_tile)
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(
+        n_blk, ntiles * lb * col_tile)
 
 
 def _pad_cols(x: jax.Array, ncol_pad: int) -> jax.Array:
@@ -154,7 +226,8 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     npl_pad = ((n_planck + 7) // 8) * 8
     n_p_pad = ((p.n_p + 7) // 8) * 8
 
-    table = plan_mod.stacked_table(model, p, gas_concs.names, F32)
+    table_hi, table_lo = common.split_bf16(
+        plan_mod.stacked_table(model, p, gas_concs.names, F32))
     vmrs = plan_mod.stacked_vmrs(p, gas_concs, ncol, nlay, F32)
     if vmrs is None:
         vmrs = jnp.zeros((1, nlay, ncol), F32)
@@ -171,32 +244,47 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
 
     t_first = jnp.zeros((n_p_pad, 1), F32).at[:p.n_p, 0].set(tg[:, 0])
     pf = model.planck_function.astype(F32)   # (n_planck, ngpt)
-    planck_t = jnp.zeros((ng, npl_pad), F32).at[:model.ngpt, :n_planck].set(
-        pf.T)
+    planck_hi, planck_lo = common.split_bf16(
+        jnp.zeros((ng, npl_pad), F32).at[:model.ngpt, :n_planck].set(pf.T))
     planck_row0 = jnp.zeros((ng, 1), F32).at[:model.ngpt, 0].set(pf[0])
 
     ncol_pad = ((ncol + COL_TILE - 1) // COL_TILE) * COL_TILE
-    logp_t = _pad_cols(
-        jnp.log(0.5 * (plev[:, 1:] + plev[:, :-1])).astype(F32).T, ncol_pad)
-    dp_t = _pad_cols((plev[:, 1:] - plev[:, :-1]).astype(F32).T, ncol_pad)
-    tlay_t = _pad_cols(tlay.astype(F32).T, ncol_pad)
-    tlev_t = _pad_cols(tlev.astype(F32).T, ncol_pad)
+    lb = LAYER_BLOCK
+    n_blk = -(-nlay // lb)
+    n_blk_lev = -(-(nlay + 1) // lb)
+    blk = lambda x, pv=None: _block_lanes(x, lb, COL_TILE, pv)
+    logp_t = blk(_pad_cols(
+        jnp.log(0.5 * (plev[:, 1:] + plev[:, :-1])).astype(F32).T, ncol_pad))
+    dp_t = blk(_pad_cols((plev[:, 1:] - plev[:, :-1]).astype(F32).T,
+                         ncol_pad), 0.0)
+    tlay_t = blk(_pad_cols(tlay.astype(F32).T, ncol_pad))
+    tlev_f = tlev.astype(F32).T                       # (nlev, ncol)
+    if n_gauss_angles == 1:
+        # Per-LAYER level-edge temperatures, packed (2 = dec/inc, ...), so
+        # the kernel computes sources blocked in phase A (see _lw_kernel).
+        tlev_t = jnp.stack([blk(_pad_cols(tlev_f[:nlay], ncol_pad)),
+                            blk(_pad_cols(tlev_f[1:], ncol_pad))])
+    else:
+        tlev_t = blk(_pad_cols(tlev_f, ncol_pad))
     tsfc_t = _pad_cols(tsfc.astype(F32)[None, :], ncol_pad)
     emis_t = _pad_cols(
         jnp.zeros((ng, ncol), F32).at[:model.ngpt].set(
             emis_gpt.astype(F32).T), ncol_pad)
-    vmr_t = _pad_cols(vmrs, ncol_pad)
+    vmr_p = _pad_cols(vmrs, ncol_pad)
+    vmr_t = jnp.stack([blk(vmr_p[i]) for i in range(vmr_p.shape[0])])
 
     secants, weights = gauss_angles(n_gauss_angles)
     kernel = functools.partial(
         _lw_kernel, plan=p, nlay=nlay, n_planck=n_planck, npl_pad=npl_pad,
-        secants=tuple(secants), weights=tuple(weights))
+        secants=tuple(secants), weights=tuple(weights), lb=lb, n_blk=n_blk,
+        n_blk_lev=n_blk_lev, ctile=COL_TILE)
 
     nlev = nlay + 1
     n_vmr = vmr_t.shape[0]
     rep2 = lambda i: (0, 0)
     rep3 = lambda i: (0, 0, 0)
     col2 = lambda i: (0, i)
+    rep3c = lambda i: (0, 0, i)
     grid = (ncol_pad // COL_TILE,)
     out = pl.pallas_call(
         kernel,
@@ -204,16 +292,25 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n_p_pad, 1), rep2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(table.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(table_hi.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(table_hi.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, npl_pad), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, npl_pad), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, 1), rep2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nlay, COL_TILE), col2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nlay, COL_TILE), col2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nlay, COL_TILE), col2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nlev, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, lb * COL_TILE), col2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, lb * COL_TILE), col2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, lb * COL_TILE), col2,
+                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((2, n_blk, lb * COL_TILE), rep3c,
+                          memory_space=pltpu.VMEM)
+             if n_gauss_angles == 1 else
+             pl.BlockSpec((n_blk_lev, lb * COL_TILE), col2,
+                          memory_space=pltpu.VMEM)),
             pl.BlockSpec((1, COL_TILE), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, COL_TILE), col2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_vmr, nlay, COL_TILE), rep3,
+            pl.BlockSpec((n_vmr, n_blk, lb * COL_TILE), rep3c,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -225,14 +322,17 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             jax.ShapeDtypeStruct((nlev, ncol_pad), F32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # tau
-            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # planck lay
-            pltpu.VMEM((nlev, ng, COL_TILE), F32),   # planck lev
-            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # trans
-            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # src up
+            # 1-angle mode: tau slot holds src_dn; planck lay/lev unused.
+            pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),     # tau / src_dn
+            pltpu.VMEM((1 if n_gauss_angles == 1 else n_blk * lb,
+                        ng, COL_TILE), F32),                 # planck lay
+            pltpu.VMEM((8 if n_gauss_angles == 1 else n_blk_lev * lb,
+                        ng, COL_TILE), F32),                 # planck lev
+            pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),     # trans
+            pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),     # src up
         ],
         interpret=interpret,
-    )(params, t_first, table, planck_t, planck_row0, logp_t, dp_t, tlay_t,
-      tlev_t, tsfc_t, emis_t, vmr_t)
+    )(params, t_first, table_hi, table_lo, planck_hi, planck_lo,
+      planck_row0, logp_t, dp_t, tlay_t, tlev_t, tsfc_t, emis_t, vmr_t)
     flux_up, flux_dn = out
     return flux_up[:, :ncol].T, flux_dn[:, :ncol].T

@@ -26,17 +26,20 @@ from ecckd_tpu import constants
 from ecckd_tpu.gases import GasConcs
 from ecckd_tpu.models.ckd import CKDModel
 from ecckd_tpu.ops.pallas import common, plan as plan_mod
-from ecckd_tpu.ops.pallas.lw import (COL_TILE, P_INV_DLOGP, P_INV_DLOGV,
-                                     P_INV_DT, P_LOG_MF0, P_LOG_P0, _pad_cols)
+from ecckd_tpu.ops.pallas.lw import (COL_TILE, LAYER_BLOCK, P_INV_DLOGP,
+                                     P_INV_DLOGV, P_INV_DT, P_LOG_MF0,
+                                     P_LOG_P0, _block_lanes, _pad_cols)
 
 F32 = jnp.float32
 
 
-def _sw_kernel(params_ref, t_first_ref, table_ref, ray_ref, solar_ref,
+def _sw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
+               ray_ref, solar_ref,
                logp_ref, dp_ref, tlay_ref, mu0_ref, tsi_scale_ref,
                alb_dir_ref, alb_dif_ref, vmr_ref, up_ref, dn_ref,
                rdif_s, tdif_s, srcup_s, srcdn_s, albedo_s, src_s, denom_s,
-               *, plan: plan_mod.GasOpticsPlan, nlay: int):
+               *, plan: plan_mod.GasOpticsPlan, nlay: int, lb: int,
+               n_blk: int, ctile: int):
     log_p0 = params_ref[P_LOG_P0]
     inv_dlogp = params_ref[P_INV_DLOGP]
     inv_dt = params_ref[P_INV_DT]
@@ -46,18 +49,25 @@ def _sw_kernel(params_ref, t_first_ref, table_ref, ray_ref, solar_ref,
     eps = F32(float(np.finfo(np.float32).eps))
     tiny = F32(float(np.finfo(np.float32).tiny))
 
-    mu0 = mu0_ref[...]                       # (1, C)
-    inv_mu0 = 1.0 / mu0
+    # mu0 arrives layer-blocked (n_blk, lb*C); the per-tile (1, C) row is
+    # any lb-chunk of block 0 (mu0 is layer-invariant).
+    mu0_tile = mu0_ref[pl.ds(0, 1), :ctile]  # (1, C)
     up_ref[...] = jnp.zeros_like(up_ref)
     dn_ref[...] = jnp.zeros_like(dn_ref)
 
-    # --- Phase A: per-layer optics + two-stream + direct beam (top-down) --
-    dir_top = mu0 * tsi_scale_ref[...] * solar_ref[...]     # (NG, C)
+    dir_top = mu0_tile * tsi_scale_ref[...] * solar_ref[...]   # (NG, C)
     dn_ref[pl.ds(0, 1), :] = jnp.sum(dir_top, axis=0, keepdims=True)
 
-    def layer_body(j, direct):
-        tau_gas, d_p = common.gas_tau_layer(
-            j, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref, table_ref,
+    # --- Phase A (LAYER-BLOCKED): optics + two-stream R/T for lb layers
+    # per iteration (one big MXU contraction; see gas_tau_block), scattered
+    # into per-layer scratch.  t_noscat is staged in denom_s, which phase B
+    # only overwrites after phase A1 consumed it.
+    def optics_block(b, carry):
+        mu0 = mu0_ref[pl.ds(b, 1), :]                       # (1, lb*C)
+        inv_mu0 = 1.0 / mu0
+        tau_gas, d_p = common.gas_tau_block(
+            b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
+            table_hi_ref, table_lo_ref,
             log_p0, inv_dlogp, inv_dt, log_mf0, inv_dlogv, plan, mpp)
         tau_ray = (mpp * d_p) * ray_ref[...]                # (NG, C)
         tau = tau_gas + tau_ray
@@ -97,15 +107,27 @@ def _sw_kernel(params_ref, t_first_ref, table_ref, ray_ref, solar_ref,
         r_dir = jnp.clip(r_dir, F32(0.0), 1.0 - t_noscat)
         t_dir = jnp.clip(t_dir, F32(0.0), 1.0 - t_noscat - r_dir)
 
-        rdif_s[j] = r_dif
-        tdif_s[j] = t_dif
-        srcup_s[j] = r_dir * direct
-        srcdn_s[j] = t_dir * direct
-        direct = t_noscat * direct
+        for l in range(lb):
+            sl = slice(l * ctile, (l + 1) * ctile)
+            j = b * lb + l
+            rdif_s[j] = r_dif[:, sl]
+            tdif_s[j] = t_dif[:, sl]
+            srcup_s[j] = r_dir[:, sl]
+            srcdn_s[j] = t_dir[:, sl]
+            denom_s[j] = t_noscat[:, sl]
+        return carry
+
+    common.fori32(0, n_blk, optics_block, 0, unroll=False)
+
+    # --- Phase A1: serial direct-beam sweep (top-down) -------------------
+    def direct_body(j, direct):
+        srcup_s[j] = srcup_s[j] * direct
+        srcdn_s[j] = srcdn_s[j] * direct
+        direct = denom_s[j] * direct        # t_noscat staged in denom_s
         dn_ref[pl.ds(j + 1, 1), :] = jnp.sum(direct, axis=0, keepdims=True)
         return direct
 
-    dir_sfc = common.fori32(0, nlay, layer_body, dir_top, unroll=False)
+    dir_sfc = common.fori32(0, nlay, direct_body, dir_top, unroll=True)
 
     # --- Phase B: albedo/source of the stack below each level (bottom-up) -
     albedo_s[nlay] = alb_dif_ref[...]
@@ -125,7 +147,7 @@ def _sw_kernel(params_ref, t_first_ref, table_ref, ray_ref, solar_ref,
         return (albedo_new, src_new)
 
     common.fori32(0, nlay, up_accum,
-                      (albedo_s[nlay], src_s[nlay]), unroll=False)
+                      (albedo_s[nlay], src_s[nlay]), unroll=True)
 
     # --- Phase C: downward diffuse sweep, fusing the broadband sums -------
     up_ref[pl.ds(0, 1), :] = jnp.sum(src_s[0], axis=0, keepdims=True)
@@ -139,7 +161,7 @@ def _sw_kernel(params_ref, t_first_ref, table_ref, ray_ref, solar_ref,
         return dn
 
     zero_dn = jnp.zeros_like(dir_top)
-    common.fori32(0, nlay, dn_sweep, zero_dn, unroll=False)
+    common.fori32(0, nlay, dn_sweep, zero_dn, unroll=True)
 
 
 def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
@@ -161,7 +183,8 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     ng = p.ng_pad
     n_p_pad = ((p.n_p + 7) // 8) * 8
 
-    table = plan_mod.stacked_table(model, p, gas_concs.names, F32)
+    table_hi, table_lo = common.split_bf16(
+        plan_mod.stacked_table(model, p, gas_concs.names, F32))
     vmrs = plan_mod.stacked_vmrs(p, gas_concs, ncol, nlay, F32)
     if vmrs is None:
         vmrs = jnp.zeros((1, nlay, ncol), F32)
@@ -194,20 +217,29 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
         jnp.broadcast_to(sfc_alb.astype(F32)[None, :], (model.ngpt, ncol)))
 
     ncol_pad = ((ncol + COL_TILE - 1) // COL_TILE) * COL_TILE
-    logp_t = _pad_cols(
-        jnp.log(0.5 * (plev[:, 1:] + plev[:, :-1])).astype(F32).T, ncol_pad)
-    dp_t = _pad_cols((plev[:, 1:] - plev[:, :-1]).astype(F32).T, ncol_pad)
-    tlay_t = _pad_cols(tlay.astype(F32).T, ncol_pad)
-    mu0_t = _pad_cols(mu0[None, :], ncol_pad)
+    lb0 = LAYER_BLOCK
+    blk = lambda x, pv=None: _block_lanes(x, lb0, COL_TILE, pv)
+    logp_t = blk(_pad_cols(
+        jnp.log(0.5 * (plev[:, 1:] + plev[:, :-1])).astype(F32).T, ncol_pad))
+    dp_t = blk(_pad_cols((plev[:, 1:] - plev[:, :-1]).astype(F32).T,
+                         ncol_pad), 0.0)
+    tlay_t = blk(_pad_cols(tlay.astype(F32).T, ncol_pad))
+    mu0_t = blk(jnp.broadcast_to(_pad_cols(mu0[None, :].astype(F32),
+                                           ncol_pad), (nlay, ncol_pad)))
     tsi_t = _pad_cols(tsi_scale.astype(F32), ncol_pad)
     alb_t = _pad_cols(alb_gpt, ncol_pad)
-    vmr_t = _pad_cols(vmrs, ncol_pad)
+    vmr_p = _pad_cols(vmrs, ncol_pad)
+    vmr_t = jnp.stack([blk(vmr_p[i]) for i in range(vmr_p.shape[0])])
 
-    kernel = functools.partial(_sw_kernel, plan=p, nlay=nlay)
+    lb = LAYER_BLOCK
+    n_blk = -(-nlay // lb)
+    kernel = functools.partial(_sw_kernel, plan=p, nlay=nlay, lb=lb,
+                               n_blk=n_blk, ctile=COL_TILE)
     nlev = nlay + 1
     n_vmr = vmr_t.shape[0]
     rep2 = lambda i: (0, 0)
     rep3 = lambda i: (0, 0, 0)
+    rep3c = lambda i: (0, 0, i)
     col2 = lambda i: (0, i)
     out = pl.pallas_call(
         kernel,
@@ -215,17 +247,22 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n_p_pad, 1), rep2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(table.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(table_hi.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(table_hi.shape, rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, 1), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, 1), rep2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nlay, COL_TILE), col2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nlay, COL_TILE), col2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nlay, COL_TILE), col2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, lb * COL_TILE), col2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, lb * COL_TILE), col2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, lb * COL_TILE), col2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blk, lb * COL_TILE), col2,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, COL_TILE), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, COL_TILE), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, COL_TILE), col2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_vmr, nlay, COL_TILE), rep3,
+            pl.BlockSpec((n_vmr, n_blk, lb * COL_TILE), rep3c,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -237,17 +274,17 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             jax.ShapeDtypeStruct((nlev, ncol_pad), F32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # r_dif
-            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # t_dif
-            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # src up
-            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # src dn
-            pltpu.VMEM((nlev, ng, COL_TILE), F32),   # albedo per level
-            pltpu.VMEM((nlev, ng, COL_TILE), F32),   # src per level
-            pltpu.VMEM((nlay, ng, COL_TILE), F32),   # denom
+            pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),  # r_dif
+            pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),  # t_dif
+            pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),  # src up (r_dir)
+            pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),  # src dn (t_dir)
+            pltpu.VMEM((nlev, ng, COL_TILE), F32),        # albedo per level
+            pltpu.VMEM((nlev, ng, COL_TILE), F32),        # src per level
+            pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),  # t_noscat -> denom
         ],
         interpret=interpret,
-    )(params, t_first, table, ray, solar_col, logp_t, dp_t, tlay_t, mu0_t,
-      tsi_t, alb_t, alb_t, vmr_t)
+    )(params, t_first, table_hi, table_lo, ray, solar_col, logp_t, dp_t,
+      tlay_t, mu0_t, tsi_t, alb_t, alb_t, vmr_t)
     flux_up, flux_dn = out
     mask = usecol.astype(F32)[:, None]
     return flux_up[:, :ncol].T * mask, flux_dn[:, :ncol].T * mask

@@ -107,3 +107,44 @@ def test_fused_column_padding_exact():
                                interpret=True)
     np.testing.assert_array_equal(np.asarray(up3), np.asarray(up5[:3]))
     np.testing.assert_array_equal(np.asarray(dn3), np.asarray(dn5[:3]))
+
+
+def test_fused_multi_tile_heterogeneous_columns():
+    """ncol > COL_TILE with per-column heterogeneous water vapor: every
+    grid tile must load ITS OWN column block of every input.  Guards the
+    BlockSpec index maps (a broken map that always fetches tile 0's vmr
+    passed all single-tile tests but silently corrupted tiles >= 1 on
+    hardware)."""
+    from ecckd_tpu.ops.pallas.lw import COL_TILE
+    ncol = COL_TILE + 37          # forces 2 tiles incl. a padded one
+    model = load_ckd_model(LW_FSCK, dtype=np.dtype(F32))
+    plev, tlay, tlev, tsfc, concs = _inputs(ncol=ncol, nlay=23, seed=8)
+    emis = jnp.full((ncol,), 0.95, F32)
+    ref = lw_fluxes(model, plev, tlay, tlev, tsfc, emis, concs,
+                    n_gauss_angles=1, backend="xla")
+    emis_gpt = jnp.broadcast_to(emis[:, None], (ncol, model.ngpt))
+    up, dn = lw_fluxes_fused(model, plev, tlay, tlev, tsfc, emis_gpt,
+                             concs, n_gauss_angles=1, interpret=True)
+    scale = float(jnp.abs(ref.flux_up).max())
+    # Second tile's columns specifically:
+    np.testing.assert_allclose(np.asarray(up)[COL_TILE:],
+                               np.asarray(ref.flux_up)[COL_TILE:],
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(up)[:COL_TILE],
+                               np.asarray(ref.flux_up)[:COL_TILE],
+                               atol=3e-5 * scale)
+
+    swm = load_ckd_model(SW_WIDE, dtype=np.dtype(F32))
+    rng = np.random.default_rng(4)
+    alb = jnp.asarray(rng.uniform(0.05, 0.8, ncol), F32)
+    tsi = jnp.full((ncol,), 1361.0, F32)
+    sza = jnp.asarray(np.linspace(0.0, 88.0, ncol), F32)
+    ref = sw_fluxes(swm, plev, tlay, concs, alb, tsi, sza, backend="xla")
+    up, dn = sw_fluxes_fused(swm, plev, tlay, concs, alb, tsi, sza,
+                             interpret=True)
+    scale = float(jnp.abs(ref.flux_dn).max())
+    np.testing.assert_allclose(np.asarray(dn)[COL_TILE:],
+                               np.asarray(ref.flux_dn)[COL_TILE:],
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ref.flux_up),
+                               atol=3e-5 * scale)
