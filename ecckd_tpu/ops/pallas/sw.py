@@ -213,8 +213,11 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     deg_to_rad = jnp.asarray(np.arccos(-1.0) / 180.0, dtype)
     mu0 = jnp.where(usecol, jnp.cos(sza_deg.astype(dtype) * deg_to_rad), 1.0)
 
-    alb_gpt = jnp.zeros((ng, ncol), F32).at[:model.ngpt].set(
-        jnp.broadcast_to(sfc_alb.astype(F32)[None, :], (model.ngpt, ncol)))
+    # sfc_alb: (ncol,) spectrally constant or (ncol, ngpt) per-g-point.
+    alb2d = (sfc_alb.astype(F32).T if sfc_alb.ndim == 2 else
+             jnp.broadcast_to(sfc_alb.astype(F32)[None, :],
+                              (model.ngpt, ncol)))
+    alb_gpt = jnp.zeros((ng, ncol), F32).at[:model.ngpt].set(alb2d)
 
     ncol_pad = ((ncol + COL_TILE - 1) // COL_TILE) * COL_TILE
     lb0 = LAYER_BLOCK

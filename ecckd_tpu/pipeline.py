@@ -71,6 +71,22 @@ def map_over_column_chunks(fn, args, ncol: int, chunk: int):
         lambda x: x.reshape(ncol, *x.shape[2:]), out)
 
 
+def _surface_to_gpt(model: CKDModel, sfc: jax.Array, ncol: int,
+                    dtype) -> jax.Array:
+    """Surface emissivity/albedo to per-g-point (ncol, ngpt): accepts a
+    spectrally-constant (ncol,) value (the RFMIP drivers' case; expanded
+    exactly like ecckd_rfmip_lw.F90:112-116 / _sw.F90:135-140) or a banded
+    (ncol, nband) one (the reference solver API's sfc_emis(nband, ncol) /
+    sfc_alb_dir(nband, ncol), SURVEY.md section 2.3)."""
+    sfc = jnp.asarray(sfc, dtype)
+    if sfc.ndim == 1:
+        return jnp.broadcast_to(sfc[:, None], (ncol, model.ngpt))
+    if sfc.shape[-1] != model.nband:
+        raise ValueError(f"banded surface array has {sfc.shape[-1]} bands; "
+                         f"model has {model.nband}")
+    return model.gpt_weights_per_band(sfc)
+
+
 def _use_fused(model: CKDModel, dtype, backend: str, top_at_1: bool) -> bool:
     """Fused Pallas mega-kernels run on TPU-class backends at f32; the XLA
     path covers everything else (CPU tests, f64 validation runs)."""
@@ -94,7 +110,10 @@ def lw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     """Longwave broadband fluxes for a column batch.
 
     Args:
-      sfc_emis: spectrally-constant surface emissivity, (ncol,).
+      sfc_emis: surface emissivity — spectrally constant (ncol,) or banded
+        (ncol, nband), matching the reference solver's sfc_emis(nband, ncol)
+        argument (ecckd_rfmip_lw.F90:132; band -> g-point expansion as in
+        rte-rrtmgp).
       column_chunk: optional microbatch size bounding peak device memory
         on the XLA path (see map_over_column_chunks); the fused kernel
         bounds its own memory and ignores it.
@@ -103,8 +122,7 @@ def lw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     dtype = jnp.asarray(tlay).dtype
     if _use_fused(model, dtype, backend, top_at_1):
         from ecckd_tpu.ops.pallas.lw import lw_fluxes_fused
-        emis_gpt = jnp.broadcast_to(
-            sfc_emis[:, None], (tlay.shape[0], model.ngpt)).astype(dtype)
+        emis_gpt = _surface_to_gpt(model, sfc_emis, tlay.shape[0], dtype)
         up, dn = lw_fluxes_fused(model, plev, tlay, tlev, tsfc, emis_gpt,
                                  gas_concs, n_gauss_angles=n_gauss_angles)
         return FluxesBroadband(flux_up=up, flux_dn=dn)
@@ -116,9 +134,8 @@ def lw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             fn, (plev, tlay, tlev, tsfc, sfc_emis, gas_concs),
             tlay.shape[0], column_chunk)
     props, sources = gas_optics_lw(model, plev, tlay, tsfc, gas_concs, tlev)
-    emis_gpt = jnp.broadcast_to(sfc_emis[:, None],
-                                (tlay.shape[0], model.ngpt)).astype(
-                                    props.tau.dtype)
+    emis_gpt = _surface_to_gpt(model, sfc_emis, tlay.shape[0],
+                               props.tau.dtype)
     flux_up, flux_dn = rte_lw(props, sources, emis_gpt, top_at_1=top_at_1,
                               n_gauss_angles=n_gauss_angles)
     return FluxesBroadband(flux_up=flux_up, flux_dn=flux_dn)
@@ -132,7 +149,9 @@ def sw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     """Shortwave broadband fluxes for a column batch.
 
     Args:
-      sfc_alb: spectrally-constant surface albedo, (ncol,).
+      sfc_alb: surface albedo — spectrally constant (ncol,) or banded
+        (ncol, nband); diffuse == direct, as in the reference driver
+        (ecckd_rfmip_sw.F90:135-140).
       tsi: requested total solar irradiance [W m-2], (ncol,).
       sza_deg: solar zenith angle [degrees], (ncol,).
       column_chunk: optional microbatch size bounding peak device memory
@@ -142,7 +161,10 @@ def sw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     dtype_in = jnp.asarray(tlay).dtype
     if _use_fused(model, dtype_in, backend, top_at_1):
         from ecckd_tpu.ops.pallas.sw import sw_fluxes_fused
-        up, dn = sw_fluxes_fused(model, plev, tlay, gas_concs, sfc_alb,
+        alb = jnp.asarray(sfc_alb, dtype_in)
+        if alb.ndim == 2:  # banded -> per-g-point (see _surface_to_gpt)
+            alb = _surface_to_gpt(model, alb, tlay.shape[0], dtype_in)
+        up, dn = sw_fluxes_fused(model, plev, tlay, gas_concs, alb,
                                  tsi, sza_deg)
         return FluxesBroadband(flux_up=up, flux_dn=dn)
     if column_chunk is not None and tlay.shape[0] > column_chunk:
@@ -164,8 +186,7 @@ def sw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     deg_to_rad = jnp.asarray(np.arccos(-1.0) / 180.0, dtype)
     mu0 = jnp.where(usecol, jnp.cos(sza_deg.astype(dtype) * deg_to_rad), 1.0)
 
-    alb_gpt = jnp.broadcast_to(sfc_alb[:, None],
-                               (tlay.shape[0], model.ngpt)).astype(dtype)
+    alb_gpt = _surface_to_gpt(model, sfc_alb, tlay.shape[0], dtype)
     flux_up, flux_dn, _ = rte_sw(props, mu0, toa_flux, alb_gpt, alb_gpt,
                                  top_at_1=top_at_1)
     mask = usecol[:, None].astype(dtype)

@@ -133,3 +133,52 @@ def test_write_into_existing_template(tmp_path):
     write_fluxes(path, "rlu", flux, nsite=3, nexp=2)
     got = read_fluxes(path, "rlu")
     np.testing.assert_array_equal(got, flux)
+
+
+def test_pipeline_banded_surfaces():
+    """Banded (ncol, nband) emissivity/albedo through the pipelines matches
+    manual band->g-point expansion through the solvers (the reference
+    solver API's sfc_emis(nband, ncol) / sfc_alb_dir(nband, ncol) shape,
+    SURVEY.md section 2.3)."""
+    import numpy as np
+    from conftest import LW_RRTMGP, SW_WIDE, RFMIP_VMRS, make_atmosphere
+    from ecckd_tpu.gases import GasConcs
+    from ecckd_tpu.models.gas_optics import gas_optics_lw, gas_optics_sw
+    from ecckd_tpu.models.loader import load_ckd_model
+    from ecckd_tpu.pipeline import lw_fluxes, sw_fluxes
+    from ecckd_tpu.solvers.lw import rte_lw
+
+    atm = make_atmosphere(ncol=3, nlay=15, seed=21)
+    concs = GasConcs.create({"h2o": atm["h2o"], "o3": atm["o3"],
+                             **RFMIP_VMRS})
+    rng = np.random.default_rng(2)
+
+    model = load_ckd_model(LW_RRTMGP, dtype=np.float64)  # 16 bands
+    emis_band = rng.uniform(0.7, 1.0, (3, model.nband))
+    f = lw_fluxes(model, atm["plev"], atm["tlay"], atm["tlev"], atm["tsfc"],
+                  emis_band, concs, backend="xla")
+    props, sources = gas_optics_lw(model, atm["plev"], atm["tlay"],
+                                   atm["tsfc"], concs, atm["tlev"])
+    emis_gpt = np.asarray(model.gpt_weights_per_band(emis_band))
+    up_ref, dn_ref = rte_lw(props, sources, emis_gpt)
+    np.testing.assert_allclose(np.asarray(f.flux_up), np.asarray(up_ref),
+                               rtol=1e-12)
+
+    swm = load_ckd_model(SW_WIDE, dtype=np.float64)  # 5 bands
+    alb_band = rng.uniform(0.05, 0.6, (3, swm.nband))
+    fs = sw_fluxes(swm, atm["plev"], atm["tlay"], concs, alb_band,
+                   np.full(3, 1361.0), np.array([20.0, 60.0, 80.0]),
+                   backend="xla")
+    fs_const = sw_fluxes(swm, atm["plev"], atm["tlay"], concs,
+                         np.full(3, 0.3), np.full(3, 1361.0),
+                         np.array([20.0, 60.0, 80.0]), backend="xla")
+    # Banded run is finite, differs from constant-albedo run, and matches
+    # the constant run when all bands carry the same value.
+    assert np.isfinite(np.asarray(fs.flux_up)).all()
+    assert not np.allclose(np.asarray(fs.flux_up),
+                           np.asarray(fs_const.flux_up))
+    fs_same = sw_fluxes(swm, atm["plev"], atm["tlay"], concs,
+                        np.full((3, swm.nband), 0.3), np.full(3, 1361.0),
+                        np.array([20.0, 60.0, 80.0]), backend="xla")
+    np.testing.assert_allclose(np.asarray(fs_same.flux_up),
+                               np.asarray(fs_const.flux_up), rtol=1e-12)
