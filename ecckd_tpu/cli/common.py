@@ -42,6 +42,12 @@ def make_parser(prog: str) -> argparse.ArgumentParser:
                    choices=("auto", "fused", "xla"),
                    help="Compute path: fused Pallas mega-kernels, plain "
                         "XLA, or auto (fused on TPU at f32)")
+    p.add_argument("--metrics-json", default=None,
+                   help="Write run metrics (columns/s, flux ranges, "
+                        "config) as one JSON file")
+    p.add_argument("--validate", action="store_true",
+                   help="Validate physical input ranges and assert output "
+                        "finiteness (utils/checks.py)")
     return p
 
 
@@ -87,14 +93,36 @@ def build_gas_concs(data: RFMIPData, dtype) -> GasConcs:
     return GasConcs.create(items)
 
 
-def place_on_mesh(arrays, use_mesh: bool):
-    """Shard column-axis arrays over all local devices (or leave on the
-    default device)."""
+def place_on_mesh(arrays, use_mesh: bool, concs: GasConcs = None):
+    """Shard column-axis arrays (and, if given, the GasConcs pytree) over
+    all local devices, edge-padding the column axis to the mesh size — the
+    padding must be applied to EVERY per-column input consistently or the
+    jitted program sees mismatched batch extents.  Returns
+    (placed_arrays, placed_concs, mesh)."""
     if not use_mesh or len(jax.devices()) == 1:
-        return [jax.device_put(np.asarray(a)) for a in arrays], None
+        placed = [jax.device_put(np.asarray(a)) for a in arrays]
+        return placed, (None if concs is None else jax.device_put(concs)), \
+            None
     m = pmesh.make_column_mesh()
+    ncol = int(np.asarray(arrays[0]).shape[0])
     placed, _ = pmesh.shard_batch(arrays, m)
-    return placed, m
+    placed_concs = None
+    if concs is not None:
+        target = pmesh.pad_columns(ncol, m.devices.size)
+        col = pmesh.column_sharding(m)
+        rep = pmesh.replicated(m)
+
+        def put(v):
+            v = np.asarray(v)
+            if v.ndim >= 1 and v.shape[0] == ncol:
+                if target != ncol:
+                    v = np.pad(v, [(0, target - ncol)] + [(0, 0)]
+                               * (v.ndim - 1), mode="edge")
+                return jax.device_put(v, col)
+            return jax.device_put(v, rep)
+
+        placed_concs = jax.tree_util.tree_map(put, concs)
+    return placed, placed_concs, m
 
 
 def solve_with_fallback(solve, backend: str):
@@ -117,11 +145,37 @@ def solve_with_fallback(solve, backend: str):
 class Timer:
     def __init__(self, label: str):
         self.label = label
+        self.seconds = 0.0
 
     def __enter__(self):
         self.t0 = time.perf_counter()
         return self
 
     def __exit__(self, *exc):
-        dt = time.perf_counter() - self.t0
-        print(f" {self.label}: {dt*1e3:.1f} ms", file=sys.stderr)
+        self.seconds = time.perf_counter() - self.t0
+        print(f" {self.label}: {self.seconds*1e3:.1f} ms", file=sys.stderr)
+
+
+def write_metrics(path, *, ncol: int, seconds: float, args, fluxes,
+                  extra=None) -> None:
+    """Per-run metrics JSON (SURVEY.md section 5.5): throughput +
+    flux sanity ranges, for baseline tracking across runs."""
+    import json
+    up = np.asarray(fluxes.flux_up)
+    dn = np.asarray(fluxes.flux_dn)
+    m = {
+        "columns": int(ncol),
+        "seconds": round(seconds, 6),
+        "columns_per_sec": round(ncol / max(seconds, 1e-12), 1),
+        "n_devices": len(jax.devices()),
+        "backend_requested": args.backend,
+        "precision": args.precision,
+        "flux_up_range": [float(up.min()), float(up.max())],
+        "flux_dn_range": [float(dn.min()), float(dn.max())],
+        "all_finite": bool(np.isfinite(up).all() and np.isfinite(dn).all()),
+    }
+    if extra:
+        m.update(extra)
+    with open(path, "w") as f:
+        json.dump(m, f, indent=1)
+    print(f" Wrote metrics to {path}", file=sys.stderr)

@@ -44,12 +44,16 @@ def main(argv=None) -> int:
     # The model is a jit *argument* (placed on device once), never a
     # closure: closure constants are fetched back from the device at
     # lowering time, which costs minutes over a remote TPU transport.
+    if args.validate:
+        from ecckd_tpu.utils.checks import validate_inputs
+        validate_inputs(plev, data.tlay, data.tlev,
+                        press_min=model.get_press_min(),
+                        press_max=model.get_press_max())
     model_dev = jax.device_put(model)
-    arrays, _ = common.place_on_mesh(
+    arrays, concs_dev, _ = common.place_on_mesh(
         [plev, data.tlay.astype(dtype), data.tlev.astype(dtype),
          data.sfc_t.astype(dtype), data.sfc_emis.astype(dtype)],
-        not args.no_shard)
-    concs_dev = jax.device_put(concs)
+        not args.no_shard, concs)
 
     def solve(backend):
         fn = functools.partial(lw_fluxes, n_gauss_angles=n_quad_angles,
@@ -59,11 +63,20 @@ def main(argv=None) -> int:
         jax.block_until_ready(fluxes)
         return fluxes
 
-    with common.Timer("lw flux solve"):
+    with common.Timer("lw flux solve") as t:
         fluxes = common.solve_with_fallback(solve, args.backend)
 
     up = np.asarray(fluxes.flux_up)[:data.ncol]
     dn = np.asarray(fluxes.flux_dn)[:data.ncol]
+    if args.validate and not (np.isfinite(up).all()
+                              and np.isfinite(dn).all()):
+        print("ecckd_rfmip_lw: non-finite fluxes in output", file=sys.stderr)
+        return 1
+    if args.metrics_json:
+        common.write_metrics(args.metrics_json, ncol=data.ncol,
+                             seconds=t.seconds, args=args, fluxes=fluxes,
+                             extra={"driver": "lw",
+                                    "n_quad_angles": n_quad_angles})
     suffix = f"r1i1p{args.physics_index}f{args.forcing_index}_gn.nc"
     up_path = os.path.join(args.output_dir,
                            f"rlu_Efx_RTE-ecckd_rad-irf_{suffix}")

@@ -37,13 +37,17 @@ def main(argv=None) -> int:
                               top_at_1)
     concs = common.build_gas_concs(data, dtype)
 
+    if args.validate:
+        from ecckd_tpu.utils.checks import validate_inputs
+        validate_inputs(plev, data.tlay,
+                        press_min=model.get_press_min(),
+                        press_max=model.get_press_max())
     # Model passed as a jit argument, not a closure (see ecckd_rfmip_lw.py).
     model_dev = jax.device_put(model)
-    arrays, _ = common.place_on_mesh(
+    arrays, concs_dev, _ = common.place_on_mesh(
         [plev, data.tlay.astype(dtype), data.sfc_alb.astype(dtype),
          data.tsi.astype(dtype), data.sza.astype(dtype)],
-        not args.no_shard)
-    concs_dev = jax.device_put(concs)
+        not args.no_shard, concs)
 
     def solve(backend):
         fn = functools.partial(sw_fluxes, top_at_1=top_at_1,
@@ -53,11 +57,19 @@ def main(argv=None) -> int:
         jax.block_until_ready(fluxes)
         return fluxes
 
-    with common.Timer("sw flux solve"):
+    with common.Timer("sw flux solve") as t:
         fluxes = common.solve_with_fallback(solve, args.backend)
 
     up = np.asarray(fluxes.flux_up)[:data.ncol]
     dn = np.asarray(fluxes.flux_dn)[:data.ncol]
+    if args.validate and not (np.isfinite(up).all()
+                              and np.isfinite(dn).all()):
+        print("ecckd_rfmip_sw: non-finite fluxes in output", file=sys.stderr)
+        return 1
+    if args.metrics_json:
+        common.write_metrics(args.metrics_json, ncol=data.ncol,
+                             seconds=t.seconds, args=args, fluxes=fluxes,
+                             extra={"driver": "sw"})
     suffix = f"r1i1p1f{args.forcing_index}_gn.nc"
     up_path = os.path.join(args.output_dir,
                            f"rsu_Efx_RTE-ecckd_rad-irf_{suffix}")

@@ -40,7 +40,12 @@ def main(argv=None) -> int:
                    help="If set, write rlu/rld/rsu/rsd .npy memmaps there "
                         "(host writes overlap device compute)")
     p.add_argument("--no-shard", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="Restart-at-chunk: skip chunks recorded as done in "
+                        "<out-dir>/progress.json (requires --out-dir)")
     args = p.parse_args(argv)
+    if args.resume and not args.out_dir:
+        p.error("--resume requires --out-dir")
     if args.columns % args.chunk:
         p.error("--columns must be divisible by --chunk")
 
@@ -84,12 +89,25 @@ def main(argv=None) -> int:
         tsfc = base["tsfc"] + dtype(0.01) * dtype(i % 7)
         return (lw, sw, batch[0], batch[1], batch[2], tsfc, *batch[4:])
 
+    n_chunks = args.columns // args.chunk
     consume = None
+    done: set = set()
+    progress_path = None
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
         nlev = args.nlay + 1
+        # Checkpoint/restart (SURVEY.md section 5.4): completed chunk ids
+        # are journaled so an interrupted million-column run resumes at the
+        # first unfinished chunk instead of recomputing everything.
+        progress_path = os.path.join(args.out_dir, "progress.json")
+        if args.resume and os.path.exists(progress_path):
+            with open(progress_path) as f:
+                done = set(json.load(f).get("done", []))
+            print(f"# resuming: {len(done)}/{n_chunks} chunks already done",
+                  file=sys.stderr)
+        mode = "r+" if (args.resume and done) else "w+"
         maps = {name: np.lib.format.open_memmap(
-                    os.path.join(args.out_dir, f"{name}.npy"), mode="w+",
+                    os.path.join(args.out_dir, f"{name}.npy"), mode=mode,
                     dtype=dtype, shape=(args.columns, nlev))
                 for name in ("rlu", "rld", "rsu", "rsd")}
 
@@ -97,10 +115,14 @@ def main(argv=None) -> int:
             s = slice(i * args.chunk, (i + 1) * args.chunk)
             for name, arr in zip(("rlu", "rld", "rsu", "rsd"), host_outs):
                 maps[name][s] = arr
+            done.add(int(i))
+            with open(progress_path, "w") as f:
+                json.dump({"done": sorted(done)}, f)
 
-    n_chunks = args.columns // args.chunk
+    pending = [i for i in range(n_chunks) if i not in done]
     metrics = run_weak_scaling(step, chunk_builder, n_chunks, args.chunk,
-                               mesh=mesh, consume=consume, warmup=1)
+                               mesh=mesh, consume=consume, warmup=1,
+                               chunk_ids=pending)
     if args.out_dir:
         for m in maps.values():
             m.flush()

@@ -22,7 +22,7 @@ netCDF/np writes, and the host never blocks on in-flight compute.
 from __future__ import annotations
 
 import time
-from typing import Callable, Iterable, Optional, Tuple
+from typing import Callable, Iterable, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -96,7 +96,8 @@ def run_weak_scaling(step: Callable, chunk_builder: Callable[[int], tuple],
                      n_chunks: int, chunk_cols: int,
                      mesh: Optional[Mesh] = None,
                      consume: Optional[Callable] = None,
-                     warmup: int = 1) -> dict:
+                     warmup: int = 1,
+                     chunk_ids: Optional[Sequence] = None) -> dict:
     """Chunked weak-scaling run.
 
     Args:
@@ -107,19 +108,23 @@ def run_weak_scaling(step: Callable, chunk_builder: Callable[[int], tuple],
       mesh: optional column mesh to shard each chunk over.
       consume: optional host output sink (overlapped; see stream_chunks).
       warmup: untimed pre-run chunks (compile + cache warm).
+      chunk_ids: explicit chunk ids to process (restart-at-chunk: pass the
+        not-yet-completed subset; defaults to range(n_chunks)).
 
     Returns metrics incl. columns/s and columns/s/device.
     """
     n_dev = mesh.devices.size if mesh is not None else 1
+    ids = list(range(n_chunks)) if chunk_ids is None else list(chunk_ids)
 
     def placed(i):
         return place_pytree(chunk_builder(i), mesh, chunk_cols)
 
-    if warmup:
-        stream_chunks(step, ((placed(i), i) for i in range(warmup)))
-    m = stream_chunks(step, ((placed(i), i) for i in range(n_chunks)),
+    if warmup and ids:
+        stream_chunks(step, ((placed(ids[i % len(ids)]), None)
+                             for i in range(warmup)))
+    m = stream_chunks(step, ((placed(i), i) for i in ids),
                       consume=consume)
-    total_cols = n_chunks * chunk_cols
+    total_cols = len(ids) * chunk_cols
     cols_per_sec = total_cols / m["wall_s"]
     return {**m, "total_columns": total_cols, "n_devices": n_dev,
             "columns_per_sec": cols_per_sec,

@@ -77,3 +77,54 @@ def test_scale_bench_cli(tmp_path):
     rlu = np.load(tmp_path / "rlu.npy")
     np.testing.assert_allclose(rld[:, 0], 0.0, atol=1e-6)
     assert (rlu[:, 0] > 50.0).all()
+
+
+def test_scale_bench_resume(tmp_path):
+    """Restart-at-chunk (SURVEY section 5.4): a partially completed run's
+    progress journal makes --resume skip finished chunks and fill only the
+    remainder."""
+    import json
+    from ecckd_tpu.cli import scale_bench
+    out = tmp_path / "flx"
+    rc = scale_bench.main(["--columns", "64", "--chunk", "16",
+                           "--nlay", "8", "--out-dir", str(out)])
+    assert rc == 0
+    prog = json.loads((out / "progress.json").read_text())
+    assert prog["done"] == [0, 1, 2, 3]
+    full = np.load(out / "rlu.npy").copy()
+
+    # Simulate an interrupted run: pretend chunks 2,3 never completed and
+    # zero their output rows.
+    (out / "progress.json").write_text(json.dumps({"done": [0, 1]}))
+    arr = np.lib.format.open_memmap(out / "rlu.npy", mode="r+")
+    arr[32:] = 0.0
+    arr.flush()
+    del arr
+
+    rc = scale_bench.main(["--columns", "64", "--chunk", "16",
+                           "--nlay", "8", "--out-dir", str(out),
+                           "--resume"])
+    assert rc == 0
+    prog = json.loads((out / "progress.json").read_text())
+    assert prog["done"] == [0, 1, 2, 3]
+    resumed = np.load(out / "rlu.npy")
+    np.testing.assert_array_equal(resumed, full)
+
+
+def test_driver_metrics_and_validate(tmp_path):
+    """--metrics-json writes a throughput/sanity record; --validate accepts
+    physical inputs and rejects unphysical ones."""
+    import json
+    from ecckd_tpu.cli import ecckd_rfmip_lw
+    from ecckd_tpu.io.rfmip import write_synthetic_rfmip
+    from conftest import LW_FSCK
+    rf = str(tmp_path / "rfmip.nc")
+    write_synthetic_rfmip(rf, nsite=4, nlay=12, nexp=1, seed=3)
+    mpath = str(tmp_path / "metrics.json")
+    rc = ecckd_rfmip_lw.main([rf, LW_FSCK, "--output-dir", str(tmp_path),
+                              "--metrics-json", mpath, "--validate"])
+    assert rc == 0
+    m = json.loads(open(mpath).read())
+    assert m["columns"] == 4 and m["all_finite"]
+    assert m["columns_per_sec"] > 0
+    assert m["driver"] == "lw" and m["n_quad_angles"] == 1
