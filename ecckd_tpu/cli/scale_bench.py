@@ -57,7 +57,7 @@ def main(argv=None) -> int:
     from ecckd_tpu.parallel import mesh as pmesh
     from ecckd_tpu.parallel.scale import place_pytree, run_weak_scaling
     from ecckd_tpu.pipeline import lw_fluxes, sw_fluxes
-    from __graft_entry__ import _example_batch
+    from ecckd_tpu.io.synthetic import example_flux_batch as _example_batch
 
     dtype = np.float32
     mesh = None
@@ -110,6 +110,14 @@ def main(argv=None) -> int:
                     os.path.join(args.out_dir, f"{name}.npy"), mode=mode,
                     dtype=dtype, shape=(args.columns, nlev))
                 for name in ("rlu", "rld", "rsu", "rsd")}
+        for name, m in maps.items():
+            # open_memmap(mode="r+") keeps the existing on-disk header: a
+            # resume with different --columns/--nlay must fail fast, not
+            # IndexError hours into the run (or silently keep stale rows).
+            if m.shape != (args.columns, nlev):
+                p.error(f"{name}.npy has shape {m.shape}; this run needs "
+                        f"({args.columns}, {nlev}) — wrong --columns/--nlay "
+                        "for --resume")
 
         def consume(host_outs, i):
             s = slice(i * args.chunk, (i + 1) * args.chunk)

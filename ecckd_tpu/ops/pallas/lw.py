@@ -282,7 +282,6 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     nlev = nlay + 1
     n_vmr = vmr_t.shape[0]
     rep2 = lambda i: (0, 0)
-    rep3 = lambda i: (0, 0, 0)
     col2 = lambda i: (0, i)
     rep3c = lambda i: (0, 0, i)
     grid = (ncol_pad // COL_TILE,)

@@ -125,7 +125,10 @@ def build_plan(model: CKDModel, gas_names: Tuple[str, ...]) -> GasOpticsPlan:
         ng_pad=ng_pad, npt_pad=npt_pad, n_p=n_p, n_t=n_t,
         lut_sizes=tuple(lut_sizes), lut_log_mf0=tuple(lut_log_mf0),
         lut_inv_dlog=tuple(lut_inv_dlog), lut_log_slots=lut_log_slots,
-        fused_ok=table_nonneg(model))
+        # The fused kernel wires exactly one LUT gas's vmr/mole-fraction
+        # index through gas_tau_block; a hypothetical ckd file with two
+        # LUT gases must take the XLA path.
+        fused_ok=table_nonneg(model) and len(lut_names) <= 1)
 
 
 def stacked_table(model: CKDModel, plan: GasOpticsPlan,
@@ -139,7 +142,6 @@ def stacked_table(model: CKDModel, plan: GasOpticsPlan,
     contributions = resolve_contributions(model, gas_names)
     n_p, n_t, ngpt = plan.n_p, plan.n_t, plan.ngpt
     blocks = []
-    it = iter(contributions)
     for c in contributions:
         gi = c.gas_index
         code = model.gas_codes[gi]
@@ -149,7 +151,6 @@ def stacked_table(model: CKDModel, plan: GasOpticsPlan,
                 blocks.append(table[v])
         else:
             blocks.append(model.coeff_dense[model.gas_table_idx[gi]])
-    _ = it
     out = jnp.zeros((len(blocks) * plan.ng_pad, plan.npt_pad), dtype)
     for s, blk in enumerate(blocks):
         t = blk.reshape(n_p * n_t, ngpt).T.astype(dtype)  # (ngpt, np*nt)

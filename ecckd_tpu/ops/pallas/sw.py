@@ -241,7 +241,6 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     nlev = nlay + 1
     n_vmr = vmr_t.shape[0]
     rep2 = lambda i: (0, 0)
-    rep3 = lambda i: (0, 0, 0)
     rep3c = lambda i: (0, 0, i)
     col2 = lambda i: (0, i)
     out = pl.pallas_call(

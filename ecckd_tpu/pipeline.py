@@ -92,7 +92,7 @@ def _use_fused(model: CKDModel, dtype, backend: str, top_at_1: bool) -> bool:
     path covers everything else (CPU tests, f64 validation runs)."""
     if backend == "xla":
         return False
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"
     ok = (on_tpu and jnp.dtype(dtype) == jnp.float32 and top_at_1
           and model.tables_nonneg)
     if backend == "fused" and not ok:
