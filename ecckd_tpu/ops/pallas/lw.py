@@ -43,7 +43,7 @@ def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
                planck_hi_ref, planck_lo_ref,
                planck_row0_ref, logp_ref, dp_ref, tlay_ref, tlev_ref,
                tsfc_ref, emis_ref, vmr_ref, up_ref, dn_ref,
-               tau_s, play_s, plevs_s, trans_s, srcup_s, *,
+               tau_s, play_s, plevs_s, trans_s, srcup_s, plevb_s, *,
                plan: plan_mod.GasOpticsPlan, nlay: int, n_planck: int,
                npl_pad: int, secants: Tuple[float, ...],
                weights: Tuple[float, ...], lb: int, n_blk: int,
@@ -74,10 +74,19 @@ def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
     # sequential sweeps.  In the common 1-angle case the transmittance and
     # the linear-in-tau sources (exp, expm1, thin-layer series — the VPU-
     # heavy per-layer math) are ALSO computed blocked here, so the sweeps
-    # below reduce to 3-op affine recurrences; tlev_ref then carries the
-    # decreasing/increasing level-edge temperatures as a (2, n_blk, lb*C)
-    # pack.  With 3 angles the per-angle transmittances would triple the
-    # scratch, so tau/planck are staged instead and the sweep computes them.
+    # below reduce to 3-op affine recurrences.  Level Planck is evaluated
+    # ONCE per level into blocked scratch; the per-layer dec/inc edges come
+    # from the aligned block and a one-chunk lane shift (levels j and j+1),
+    # not from two separate evaluations.  With 3 angles the per-angle
+    # transmittances would triple the scratch, so tau/planck are staged
+    # per layer instead and the sweep computes them.
+    if one_angle:
+        def level_blk_eval(b, carry):
+            plevb_s[b] = planck(tlev_ref[pl.ds(b, 1), :])
+            return carry
+
+        common.fori32(0, n_blk_lev, level_blk_eval, 0, unroll=False)
+
     def optics_block(b, carry):
         tau_blk, _dp = common.gas_tau_block(
             b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
@@ -85,8 +94,14 @@ def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
             log_p0, inv_dlogp, inv_dt, log_mf0, inv_dlogv, plan, mpp)
         play_blk = planck(tlay_ref[pl.ds(b, 1), :])
         if one_angle:
-            lev_dec = planck(tlev_ref[0, pl.ds(b, 1), :])
-            lev_inc = planck(tlev_ref[1, pl.ds(b, 1), :])
+            # dec edges of layers b*lb..b*lb+lb-1 are exactly level-block b;
+            # inc edges are the same shifted one chunk left, with the last
+            # chunk from the next level block (clamped for the padded tail,
+            # whose layers the sweeps never read).
+            lev_dec = plevb_s[b]
+            b_next = jnp.minimum(b + 1, n_blk_lev - 1)
+            lev_inc = jnp.concatenate(
+                [lev_dec[:, ctile:], plevb_s[b_next][:, :ctile]], axis=1)
             ts = tau_blk * F32(secants[0])
             # 1 - exp(-ts) via expm1 (cancellation-free for thin layers,
             # matching solvers/lw.py's XLA path).
@@ -258,14 +273,7 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     dp_t = blk(_pad_cols((plev[:, 1:] - plev[:, :-1]).astype(F32).T,
                          ncol_pad), 0.0)
     tlay_t = blk(_pad_cols(tlay.astype(F32).T, ncol_pad))
-    tlev_f = tlev.astype(F32).T                       # (nlev, ncol)
-    if n_gauss_angles == 1:
-        # Per-LAYER level-edge temperatures, packed (2 = dec/inc, ...), so
-        # the kernel computes sources blocked in phase A (see _lw_kernel).
-        tlev_t = jnp.stack([blk(_pad_cols(tlev_f[:nlay], ncol_pad)),
-                            blk(_pad_cols(tlev_f[1:], ncol_pad))])
-    else:
-        tlev_t = blk(_pad_cols(tlev_f, ncol_pad))
+    tlev_t = blk(_pad_cols(tlev.astype(F32).T, ncol_pad))
     tsfc_t = _pad_cols(tsfc.astype(F32)[None, :], ncol_pad)
     emis_t = _pad_cols(
         jnp.zeros((ng, ncol), F32).at[:model.ngpt].set(
@@ -302,11 +310,8 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_blk, lb * COL_TILE), col2,
                          memory_space=pltpu.VMEM),
-            (pl.BlockSpec((2, n_blk, lb * COL_TILE), rep3c,
-                          memory_space=pltpu.VMEM)
-             if n_gauss_angles == 1 else
-             pl.BlockSpec((n_blk_lev, lb * COL_TILE), col2,
-                          memory_space=pltpu.VMEM)),
+            pl.BlockSpec((n_blk_lev, lb * COL_TILE), col2,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, COL_TILE), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, COL_TILE), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_vmr, n_blk, lb * COL_TILE), rep3c,
@@ -321,7 +326,9 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             jax.ShapeDtypeStruct((nlev, ncol_pad), F32),
         ],
         scratch_shapes=[
-            # 1-angle mode: tau slot holds src_dn; planck lay/lev unused.
+            # 1-angle mode: tau slot holds src_dn; per-layer planck slots
+            # are unused (sources are precomputed) and the level planck
+            # lives blocked in plevb_s instead.
             pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),     # tau / src_dn
             pltpu.VMEM((1 if n_gauss_angles == 1 else n_blk * lb,
                         ng, COL_TILE), F32),                 # planck lay
@@ -329,6 +336,8 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
                         ng, COL_TILE), F32),                 # planck lev
             pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),     # trans
             pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),     # src up
+            pltpu.VMEM((n_blk_lev if n_gauss_angles == 1 else 1,
+                        ng, lb * COL_TILE), F32),            # planck lev blk
         ],
         interpret=interpret,
     )(params, t_first, table_hi, table_lo, planck_hi, planck_lo,
