@@ -339,6 +339,8 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             pltpu.VMEM((n_blk_lev if n_gauss_angles == 1 else 1,
                         ng, lb * COL_TILE), F32),            # planck lev blk
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(params, t_first, table_hi, table_lo, planck_hi, planck_lo,
       planck_row0, logp_t, dp_t, tlay_t, tlev_t, tsfc_t, emis_t, vmr_t)

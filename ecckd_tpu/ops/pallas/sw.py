@@ -284,6 +284,8 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             pltpu.VMEM((nlev, ng, COL_TILE), F32),        # src per level
             pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),  # t_noscat -> denom
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(params, t_first, table_hi, table_lo, ray, solar_col, logp_t, dp_t,
       tlay_t, mu0_t, tsi_t, alb_t, alb_t, vmr_t)
