@@ -96,6 +96,14 @@ class CKDModel:
     def nband(self) -> int:
         return len(self.band_limits)
 
+    def get_nband(self) -> int:
+        """Reference accessor alias (ty_optical_props%get_nband)."""
+        return self.nband
+
+    def get_ngpt(self) -> int:
+        """Reference accessor alias (ty_optical_props%get_ngpt)."""
+        return self.ngpt
+
     def get_ngas(self) -> int:
         return len(self.gas_names)
 

@@ -28,7 +28,10 @@ from ecckd_tpu.ops.rayleigh import rayleigh_optical_depth
 
 def gas_optics_lw(model: CKDModel, plev: jax.Array, tlay: jax.Array,
                   tsfc: jax.Array, gas_concs: GasConcs,
-                  tlev: jax.Array) -> Tuple[OpticalProps1scl, SourceFuncLW]:
+                  tlev: jax.Array, play: jax.Array = None,
+                  col_dry: jax.Array = None,
+                  logarithmic_interpolation: bool = False
+                  ) -> Tuple[OpticalProps1scl, SourceFuncLW]:
     """Longwave optical depth and Planck sources.
 
     Args:
@@ -39,13 +42,20 @@ def gas_optics_lw(model: CKDModel, plev: jax.Array, tlay: jax.Array,
       gas_concs: gas volume mixing ratios.
       tlev: level temperatures [K], (ncol, nlay+1) — required, as in the
         reference (gas_optics_ecckd.f90:414-417).
+      play, col_dry: accepted for reference API parity and IGNORED — the
+        reference derives layer pressure from the level pressures and never
+        reads either argument (gas_optics_ecckd.f90:120,381-426).
+      logarithmic_interpolation: select the reference's alternate log-space
+        table interpolation (live API, never selected by its drivers).
 
     Returns:
       (optical_props, sources)
     """
     if not model.source_is_internal():
         raise ValueError("gas_optics_lw requires a longwave ckd model")
-    tau = gas_optical_depth(model, plev, tlay, gas_concs)
+    del play, col_dry  # parity-only arguments (see docstring)
+    tau = gas_optical_depth(model, plev, tlay, gas_concs,
+                            logarithmic_interpolation)
 
     pt, pf = model.planck_temperature, model.planck_function
     lay_source = planck_source(tlay, pt, pf)
@@ -63,9 +73,14 @@ def gas_optics_lw(model: CKDModel, plev: jax.Array, tlay: jax.Array,
 
 
 def gas_optics_sw(model: CKDModel, plev: jax.Array, tlay: jax.Array,
-                  gas_concs: GasConcs
+                  gas_concs: GasConcs, play: jax.Array = None,
+                  col_dry: jax.Array = None,
+                  logarithmic_interpolation: bool = False
                   ) -> Tuple[OpticalProps2str, jax.Array]:
     """Shortwave optical properties and TOA solar source.
+
+    ``play``/``col_dry`` are accepted for reference API parity and ignored
+    (see gas_optics_lw).
 
     Returns:
       (optical_props, toa_src) with toa_src (ncol, ngpt): the per-g-point
@@ -73,7 +88,9 @@ def gas_optics_sw(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     """
     if not model.source_is_external():
         raise ValueError("gas_optics_sw requires a shortwave ckd model")
-    tau_gas = gas_optical_depth(model, plev, tlay, gas_concs)
+    del play, col_dry  # parity-only arguments (see gas_optics_lw)
+    tau_gas = gas_optical_depth(model, plev, tlay, gas_concs,
+                                logarithmic_interpolation)
     tau_ray = rayleigh_optical_depth(plev, model.rayleigh_coeff)
     tau = tau_gas + tau_ray
     # ssa = tau_ray / tau_total; g = 0 (gas_optics_ecckd.f90:457-464).

@@ -71,37 +71,51 @@ def vmr_index(layer_vmr: jax.Array, mf_grid: Tuple[float, ...]) -> IndexWeight:
 
 
 def bilinear_gather(table_flat: jax.Array, n_t: int, p_iw: IndexWeight,
-                    t_iw: IndexWeight) -> jax.Array:
+                    t_iw: IndexWeight, logarithmic: bool = False
+                    ) -> jax.Array:
     """Bi-linear (pressure, temperature) interpolation of stacked tables.
 
     Args:
       table_flat: (..., np*nT, ngpt) tables flattened over the (p, T) grid.
       n_t: temperature-axis length.
       p_iw, t_iw: index/weight pairs of shape S (e.g. (ncol, nlay)).
+      logarithmic: interpolate log(coefficient) and exponentiate — the
+        reference's alternate branch (gas_optics_ecckd.f90:205-211,
+        223-229), selectable but never selected by its callers.
 
     Returns:
       (..., *S, ngpt) interpolated coefficients.
     """
     idx = p_iw.i0 * n_t + t_iw.i0
-    take = lambda off: jnp.take(table_flat, idx + off, axis=-2)
+    if logarithmic:
+        take = lambda off: jnp.log(jnp.take(table_flat, idx + off, axis=-2))
+    else:
+        take = lambda off: jnp.take(table_flat, idx + off, axis=-2)
     pw1, tw1 = p_iw.w1[..., None], t_iw.w1[..., None]
     pw0, tw0 = 1.0 - pw1, 1.0 - tw1
-    return (tw0 * (pw0 * take(0) + pw1 * take(n_t))
-            + tw1 * (pw0 * take(1) + pw1 * take(n_t + 1)))
+    out = (tw0 * (pw0 * take(0) + pw1 * take(n_t))
+           + tw1 * (pw0 * take(1) + pw1 * take(n_t + 1)))
+    return jnp.exp(out) if logarithmic else out
 
 
 def trilinear_gather(table_flat: jax.Array, n_p: int, n_t: int,
                      p_iw: IndexWeight, t_iw: IndexWeight,
-                     v_iw: IndexWeight) -> jax.Array:
+                     v_iw: IndexWeight, logarithmic: bool = False
+                     ) -> jax.Array:
     """Tri-linear (vmr, pressure, temperature) interpolation.
 
     Args:
       table_flat: (n_mf*np*nT, ngpt) LUT flattened over (mf, p, T).
+      logarithmic: interpolate log(coefficient) then exponentiate (the
+        reference's alternate branch, gas_optics_ecckd.f90:180-193).
     Returns:
       (*S, ngpt) interpolated coefficients.
     """
     idx = (v_iw.i0 * n_p + p_iw.i0) * n_t + t_iw.i0
-    take = lambda off: jnp.take(table_flat, idx + off, axis=-2)
+    if logarithmic:
+        take = lambda off: jnp.log(jnp.take(table_flat, idx + off, axis=-2))
+    else:
+        take = lambda off: jnp.take(table_flat, idx + off, axis=-2)
     pw1, tw1, vw1 = (p_iw.w1[..., None], t_iw.w1[..., None],
                      v_iw.w1[..., None])
     pw0, tw0, vw0 = 1.0 - pw1, 1.0 - tw1, 1.0 - vw1
@@ -110,4 +124,5 @@ def trilinear_gather(table_flat: jax.Array, n_p: int, n_t: int,
           + tw1 * (pw0 * take(1) + pw1 * take(n_t + 1)))
     hi = (tw0 * (pw0 * take(stride_v) + pw1 * take(stride_v + n_t))
           + tw1 * (pw0 * take(stride_v + 1) + pw1 * take(stride_v + n_t + 1)))
-    return vw0 * lo + vw1 * hi
+    out = vw0 * lo + vw1 * hi
+    return jnp.exp(out) if logarithmic else out

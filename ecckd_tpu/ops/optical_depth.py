@@ -14,9 +14,9 @@ Vectorized TPU-first reimplementation of the reference's
 * Per-gas negative optical depths are clamped to zero *before* accumulation
   (gas_optics_ecckd.f90:233-238) — relevant for relative-linear gases whose
   vmr is below the reference value.
-* Only plain-linear interpolation is implemented: the reference's logarithmic
-  branches are selectable API but never selected (always called with
-  ``logarithmic_interpolation=.false.``, gas_optics_ecckd.f90:368).
+* ``logarithmic_interpolation`` selects the reference's alternate
+  log-space interpolation branches (gas_optics_ecckd.f90:180-229) — live
+  API there but never selected by its callers (:368), same default here.
 """
 from __future__ import annotations
 
@@ -58,7 +58,8 @@ def resolve_contributions(model: CKDModel, names: Tuple[str, ...]
 
 
 def gas_optical_depth(model: CKDModel, plev: jax.Array, tlay: jax.Array,
-                      gas_concs: GasConcs) -> jax.Array:
+                      gas_concs: GasConcs,
+                      logarithmic_interpolation: bool = False) -> jax.Array:
     """Total gas optical depth, (ncol, nlay, ngpt).
 
     Args:
@@ -66,6 +67,8 @@ def gas_optical_depth(model: CKDModel, plev: jax.Array, tlay: jax.Array,
       plev: level pressures [Pa], (ncol, nlay+1).
       tlay: layer temperatures [K], (ncol, nlay).
       gas_concs: requested gases (static names, vmr values).
+      logarithmic_interpolation: interpolate log(coefficient) instead of
+        the coefficient (the reference's never-selected alternate branch).
     """
     ncol, nlay = tlay.shape
     dtype = tlay.dtype
@@ -98,7 +101,8 @@ def gas_optical_depth(model: CKDModel, plev: jax.Array, tlay: jax.Array,
                           for c in dense])                  # (G, ncol, nlay)
         weights = simple_weight * (a[:, None, None] * vmrs + b[:, None, None])
         tables = model.coeff_dense[rows].reshape(len(dense), n_p * n_t, ngpt)
-        coeff = interp.bilinear_gather(tables, n_t, p_iw, t_iw)
+        coeff = interp.bilinear_gather(tables, n_t, p_iw, t_iw,
+                                       logarithmic_interpolation)
         #       (G, ncol, nlay, ngpt)
         tau_g = jnp.maximum(weights[..., None] * coeff, 0.0)
         tau = tau + jnp.sum(tau_g, axis=0)
@@ -113,7 +117,8 @@ def gas_optical_depth(model: CKDModel, plev: jax.Array, tlay: jax.Array,
         v_iw = interp.vmr_index(vmr, mf_grid)
         table = model.coeff_lut[model.gas_table_idx[gi]]
         table_flat = table.reshape(-1, ngpt)
-        coeff = interp.trilinear_gather(table_flat, n_p, n_t, p_iw, t_iw, v_iw)
+        coeff = interp.trilinear_gather(table_flat, n_p, n_t, p_iw, t_iw,
+                                        v_iw, logarithmic_interpolation)
         weight = simple_weight * vmr
         tau = tau + jnp.maximum(weight[..., None] * coeff, 0.0)
 

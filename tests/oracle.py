@@ -20,12 +20,20 @@ MOLES_PER_PA = 1.0 / (GRAVITY * 0.001 * DRY_AIR_MOLAR_MASS)
 # Gas optics
 # --------------------------------------------------------------------------
 def optical_depth_one_gas(log_pressure, temperature_grid, coeff, code,
-                          plev, tlay, vmr, reference_mf=0.0, mf_grid=None):
+                          plev, tlay, vmr, reference_mf=0.0, mf_grid=None,
+                          logarithmic=False):
     """Optical depth of a single gas, (ncol, nlay, ngpt).
 
     coeff: (n_mf_or_1, np, nT, ngpt); code: 0 none / 1 linear /
-    2 look-up-table / 3 relative-linear.
+    2 look-up-table / 3 relative-linear.  ``logarithmic``: the reference's
+    alternate branch — interpolate log(coeff), exponentiate
+    (gas_optics_ecckd.f90:180-229).
     """
+    if logarithmic:
+        # log(0) -> -inf -> exp -> 0 is the reference's own behavior for
+        # zero table entries; silence the benign numpy warning.
+        with np.errstate(divide="ignore"):
+            coeff = np.log(coeff)
     ncol, nlay = tlay.shape
     ngpt = coeff.shape[-1]
     n_p = log_pressure.shape[0]
@@ -72,12 +80,16 @@ def optical_depth_one_gas(log_pressure, temperature_grid, coeff, code,
                                     + pw1 * coeff[iv0 + 1, ip0 + 1, it0, :])
                              + tw1 * (pw0 * coeff[iv0 + 1, ip0, it0 + 1, :]
                                       + pw1 * coeff[iv0 + 1, ip0 + 1, it0 + 1, :]))
+                if logarithmic:
+                    val = np.exp(val)
                 tau[i, j, :] = weight * val
             else:
                 val = (tw0 * (pw0 * coeff[0, ip0, it0, :]
                               + pw1 * coeff[0, ip0 + 1, it0, :])
                        + tw1 * (pw0 * coeff[0, ip0, it0 + 1, :]
                                 + pw1 * coeff[0, ip0 + 1, it0 + 1, :]))
+                if logarithmic:
+                    val = np.exp(val)
                 if code == 0:
                     tau[i, j, :] = simple_weight * val
                 else:

@@ -187,3 +187,37 @@ def test_f32_path_close_to_f64(lw_model):
         c32))
     assert t32.dtype == np.float32
     np.testing.assert_allclose(t32, t64, rtol=2e-3, atol=1e-8)
+
+
+def test_logarithmic_interpolation_vs_oracle(lw_model):
+    """The reference's alternate log-space interpolation branch
+    (gas_optics_ecckd.f90:180-229; live API, never selected by its
+    drivers) matches the oracle per gas."""
+    import jax.numpy as jnp
+    from ecckd_tpu.ops.optical_depth import gas_optical_depth
+    from ecckd_tpu.gases import GasConcs
+    atm = make_atmosphere(ncol=3, nlay=14, seed=17)
+    m = lw_model
+    for name, vmr_val in (("h2o", atm["h2o"]), ("co2", 4.0e-4),
+                          ("ch4", 1.5e-6)):
+        concs = GasConcs.create({name: vmr_val})
+        got = gas_optical_depth(m, jnp.asarray(atm["plev"]),
+                                jnp.asarray(atm["tlay"]), concs,
+                                logarithmic_interpolation=True)
+        gi = m.gas_names.index(name)
+        vmr = np.broadcast_to(np.asarray(vmr_val), atm["tlay"].shape)
+        code = m.gas_codes[gi]
+        ti = m.gas_table_idx[gi]
+        if code == 2:
+            coeff = np.asarray(m.coeff_lut[ti])
+            mf = m.lut_mf_grids[ti]
+        else:
+            coeff = np.asarray(m.coeff_dense[ti])[None]
+            mf = None
+        ref = oracle.optical_depth_one_gas(
+            np.asarray(m.log_pressure), np.asarray(m.temperature_grid),
+            coeff, code, atm["plev"], atm["tlay"], vmr,
+            reference_mf=m.gas_reference_mf[gi], mf_grid=mf,
+            logarithmic=True)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=5e-11,
+                                   atol=1e-18)
