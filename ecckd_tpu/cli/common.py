@@ -45,6 +45,9 @@ def make_parser(prog: str) -> argparse.ArgumentParser:
     p.add_argument("--metrics-json", default=None,
                    help="Write run metrics (columns/s, flux ranges, "
                         "config) as one JSON file")
+    p.add_argument("--heating-rates", action="store_true",
+                   help="Also write layer heating rates [K/day] "
+                        "(hrl/hrs files; framework extension)")
     p.add_argument("--validate", action="store_true",
                    help="Validate physical input ranges and assert output "
                         "finiteness (utils/checks.py)")

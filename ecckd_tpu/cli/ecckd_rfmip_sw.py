@@ -78,6 +78,14 @@ def main(argv=None) -> int:
     write_fluxes(up_path, "rsu", up, data.nsite, data.nexp)
     write_fluxes(dn_path, "rsd", dn, data.nsite, data.nexp)
     print(f" Wrote {up_path} and {dn_path}", file=sys.stderr)
+    if args.heating_rates:
+        from ecckd_tpu.fluxes import heating_rate
+        from ecckd_tpu.io.rfmip import write_heating_rates
+        hr = np.asarray(heating_rate(up, dn, plev[:data.ncol]))
+        hr_path = os.path.join(args.output_dir,
+                               f"hrs_Efx_RTE-ecckd_rad-irf_{suffix}")
+        write_heating_rates(hr_path, "hrs", hr, data.nsite, data.nexp)
+        print(f" Wrote {hr_path}", file=sys.stderr)
     return 0
 
 

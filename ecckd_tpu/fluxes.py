@@ -32,11 +32,16 @@ def heating_rate(flux_up: jax.Array, flux_dn: jax.Array,
                  plev: jax.Array) -> jax.Array:
     """Layer heating rate [K/day] from broadband level fluxes.
 
-    dT/dt = (g / cp) * d(F_net)/dp, with F_net = F_dn - F_up and p increasing
-    toward the surface.
+    Energy balance of the layer between levels t (lower pressure) and b:
+    cp * (dp/g) * dT/dt = F_net(t) - F_net(b) with F_net = F_dn - F_up, so
+
+      dT/dt = -(g / cp) * dF_net / dp
+
+    (written as a signed difference quotient, which is orientation-
+    independent: flipping the level order flips both differences).
     """
     fnet = flux_dn - flux_up
     dfnet = fnet[:, 1:] - fnet[:, :-1]
     dp = plev[:, 1:] - plev[:, :-1]
-    k_per_s = (constants.GRAVITY / constants.CP_DRY_AIR) * dfnet / dp
+    k_per_s = -(constants.GRAVITY / constants.CP_DRY_AIR) * dfnet / dp
     return k_per_s * constants.SECONDS_PER_DAY

@@ -225,6 +225,38 @@ def write_fluxes(path: str, varname: str, fluxes: np.ndarray, nsite: int,
         f.close()
 
 
+def write_heating_rates(path: str, varname: str, hr: np.ndarray,
+                        nsite: int, nexp: int) -> None:
+    """Write layer heating rates (ncol, nlay) [K/day] to a netCDF file with
+    dims (expt, site, layer).  A framework extension: the reference computes
+    fluxes only, but its ckd files' accuracy contract is stated as
+    heating-rate tolerances (file names `...tol0.0161.nc`, SURVEY.md
+    section 6)."""
+    nlay = hr.shape[1]
+    data = hr.reshape(nexp, nsite, nlay)
+    from ecckd_tpu.io import nc3_native
+    if nc3_native.load_library() is not None:
+        w = nc3_native.NativeWriter(path)
+        w.def_dim("expt", nexp)
+        w.def_dim("site", nsite)
+        w.def_dim("layer", nlay)
+        w.def_var(varname, "d", ("expt", "site", "layer"))
+        w.put_att(varname, "units", "K d-1")
+        w.put_var(varname, data)
+        w.finish()
+        return
+    f = netcdf_file(path, "w")
+    try:
+        f.createDimension("expt", nexp)
+        f.createDimension("site", nsite)
+        f.createDimension("layer", nlay)
+        var = f.createVariable(varname, "f8", ("expt", "site", "layer"))
+        var[:] = data
+        var.units = "K d-1"
+    finally:
+        f.close()
+
+
 def read_fluxes(path: str, varname: str) -> np.ndarray:
     """Read fluxes back as (ncol, nlev), column order matching RFMIPData."""
     f = netcdf_file(path, mmap=False)

@@ -182,3 +182,20 @@ def test_pipeline_banded_surfaces():
                         np.array([20.0, 60.0, 80.0]), backend="xla")
     np.testing.assert_allclose(np.asarray(fs_same.flux_up),
                                np.asarray(fs_const.flux_up), rtol=1e-12)
+
+
+def test_heating_rate_output(rfmip_file, tmp_path):
+    """--heating-rates writes an hrl file with plausible K/day values."""
+    from ecckd_tpu.io.rfmip import netcdf_file
+    rc = ecckd_rfmip_lw.main([rfmip_file, LW_FSCK, "--output-dir",
+                              str(tmp_path), "--heating-rates"])
+    assert rc == 0
+    path = tmp_path / "hrl_Efx_RTE-ecckd_rad-irf_r1i1p1f1_gn.nc"
+    f = netcdf_file(str(path), mmap=False)
+    hr = f.variables["hrl"][:].copy()
+    f.close()
+    assert hr.shape == (2, 8, 24)
+    assert np.isfinite(hr).all()
+    # Longwave COOLING on average (the synthetic profile's thin top layers
+    # cool hard, O(100) K/day; the troposphere at O(1)).
+    assert hr.mean() < 0.0 and hr.min() > -200.0 and abs(hr).max() > 0.1
