@@ -27,7 +27,7 @@ import time
 # module docstring.  The serial Fortran reference would be in the same
 # order of magnitude.
 CPU_SERIAL_BASELINE_COLS_PER_SEC = float(
-    os.environ.get("ECCKD_BENCH_BASELINE", "2838.9"))
+    os.environ.get("ECCKD_BENCH_BASELINE", "3256.3"))
 
 LW_FILE = ("/root/reference/data/"
            "ecckd-1.2_lw_ckd-definition_climate_fsck-tol0.0161.nc")
