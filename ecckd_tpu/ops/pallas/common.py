@@ -181,6 +181,30 @@ def matmul_presplit(a_hi: jax.Array, a_lo: jax.Array, b: jax.Array
     return dot(a_hi, b_hi) + (dot(a_lo, b_hi) + dot(a_hi, b_lo))
 
 
+def matmul_f32_t(a: jax.Array, b: jax.Array) -> jax.Array:
+    """~f32-accurate MXU contraction of dim 0 of BOTH operands
+    ((R, K) x (R, C) -> (K, C)), 3-pass bf16 split like matmul_f32.
+    Used by the windowed table contraction, whose window is a dynamic
+    f32 sublane slice (a bf16 pre-split would need 16-sublane-aligned
+    offsets; splitting the small window here is cheap)."""
+    if _MXU_MODE != "bf16x3":
+        dn = (((0,), (0,)), ((), ()))
+        prec = (jax.lax.Precision.HIGHEST if _MXU_MODE == "highest"
+                else jax.lax.Precision.DEFAULT)
+        return jax.lax.dot_general(a, b, dimension_numbers=dn,
+                                   precision=prec,
+                                   preferred_element_type=F32)
+    dn = (((0,), (0,)), ((), ()))
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(F32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(F32)).astype(jnp.bfloat16)
+    dot = lambda x, y: jax.lax.dot_general(
+        x, y, dimension_numbers=dn, precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=F32)
+    return dot(a_hi, b_hi) + (dot(a_lo, b_hi) + dot(a_hi, b_lo))
+
+
 def pressure_temperature_index(log_p, t_lay, t_first_ref, log_p0, inv_dlogp,
                                inv_dt, n_p, n_t):
     """Per-column interpolation points for one layer.
@@ -203,8 +227,8 @@ def pressure_temperature_index(log_p, t_lay, t_first_ref, log_p0, inv_dlogp,
 
 
 def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
-                  table_hi_ref, table_lo_ref, log_p0, inv_dlogp, inv_dt,
-                  log_mf0, inv_dlogv, plan, mpp):
+                  table_t_ref, log_p0, inv_dlogp, inv_dt,
+                  log_mf0, inv_dlogv, plan, mpp, wp=16):
     """Total gas optical depth of one LAYER BLOCK for one column tile.
 
     The fused equivalent of the reference per-gas loop
@@ -215,10 +239,17 @@ def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
 
     Layer blocking: inputs are laid out (n_blocks, LB*C) with LB layers
     flattened onto the lane axis of each block row, so the one-hot build and
-    the MXU contraction run over LB*C lanes at once.  Per-layer (npt, C)
-    matmuls are latency-bound (~50% MXU idle between tiny dispatches);
-    batching LB layers into one (K, npt) @ (npt, LB*C) contraction measured
-    ~4x faster at LB = 10.
+    the MXU contraction run over LB*C lanes at once (per-layer matmuls are
+    latency-bound; ~4x).
+
+    Pressure windowing: the contraction is FLOP-bound (measured ~73% MXU
+    peak), and a layer block only ever touches a narrow band of the 53-point
+    pressure grid, so the one-hot contracts against a dynamic ``wp``-point
+    window of the TRANSPOSED table (sublane rows p*8 + t, see
+    plan.stacked_table_t) — a 424 -> wp*8 contraction-depth cut (~2.3x
+    measured end-to-end on the contraction).  A per-block lax.cond falls
+    back to the full table whenever the tile's pressure spread exceeds the
+    window, so the result is exact for arbitrary inputs.
 
     ``logp_ref`` holds ln(layer pressure) and ``vmr_ref``'s LUT log-rows
     hold ln(max(vmr, mf0)) — both precomputed outside the kernel because
@@ -230,16 +261,33 @@ def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
     """
     import jax.experimental.pallas as pl  # local to keep module importable
 
-    ng, npt = plan.ng_pad, plan.npt_pad
+    ng = plan.ng_pad
+    n_t8 = 8                               # t-axis pitch of the transposed table
     log_p = logp_ref[pl.ds(b, 1), :]
     d_p = dp_ref[pl.ds(b, 1), :]
     t_lay = tlay_ref[pl.ds(b, 1), :]
     i0p, wp1, i0t, wt1 = pressure_temperature_index(
         log_p, t_lay, t_first_ref[...], log_p0, inv_dlogp, inv_dt,
         plan.n_p, plan.n_t)
-    oh = pt_onehot(npt, plan.n_t, i0p, wp1, i0t, wt1)
-    coeff = matmul_presplit(table_hi_ref[...], table_lo_ref[...],
-                            oh)                     # (K, C)
+
+    def contract(relp, rows, tab):
+        oh = pt_onehot(rows, n_t8, relp, wp1, i0t, wt1)
+        return matmul_f32_t(tab, oh)       # (K, LB*C)
+
+    if wp >= plan.n_p:
+        coeff = contract(i0p, plan.n_p * n_t8, table_t_ref[...])
+    else:
+        base = jnp.clip(jnp.min(i0p), 0, plan.n_p - wp)
+        ok = jnp.max(i0p) - base <= wp - 2
+
+        def windowed(_):
+            win = table_t_ref[pl.ds(base * n_t8, wp * n_t8), :]
+            return contract(i0p - base, wp * n_t8, win)
+
+        def full(_):
+            return contract(i0p, plan.n_p * n_t8, table_t_ref[...])
+
+        coeff = jax.lax.cond(ok, windowed, full, 0)
     sw = mpp * d_p
 
     n_lut = plan.lut_sizes[0] if plan.lut_sizes else 0

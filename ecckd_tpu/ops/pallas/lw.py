@@ -39,7 +39,7 @@ P_LOG_P0, P_INV_DLOGP, P_INV_DT, P_PLANCK_T0, P_INV_PLANCK_DT, \
     P_LOG_MF0, P_INV_DLOGV, P_NPARAMS = range(8)
 
 
-def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
+def _lw_kernel(params_ref, t_first_ref, table_t_ref,
                planck_hi_ref, planck_lo_ref,
                planck_row0_ref, logp_ref, dp_ref, tlay_ref, tlev_ref,
                tsfc_ref, emis_ref, vmr_ref, up_ref, dn_ref,
@@ -47,7 +47,7 @@ def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
                plan: plan_mod.GasOpticsPlan, nlay: int, n_planck: int,
                npl_pad: int, secants: Tuple[float, ...],
                weights: Tuple[float, ...], lb: int, n_blk: int,
-               n_blk_lev: int, ctile: int):
+               n_blk_lev: int, ctile: int, wp: int):
     log_p0 = params_ref[P_LOG_P0]
     inv_dlogp = params_ref[P_INV_DLOGP]
     inv_dt = params_ref[P_INV_DT]
@@ -90,8 +90,9 @@ def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
     def optics_block(b, carry):
         tau_blk, _dp = common.gas_tau_block(
             b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
-            table_hi_ref, table_lo_ref,
-            log_p0, inv_dlogp, inv_dt, log_mf0, inv_dlogv, plan, mpp)
+            table_t_ref,
+            log_p0, inv_dlogp, inv_dt, log_mf0, inv_dlogv, plan, mpp,
+            wp=wp)
         play_blk = planck(tlay_ref[pl.ds(b, 1), :])
         if one_angle:
             # dec edges of layers b*lb..b*lb+lb-1 are exactly level-block b;
@@ -186,7 +187,13 @@ def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
         common.fori32(0, nlay, up_body, rad, unroll=True)
 
 
-LAYER_BLOCK = int(os.environ.get("ECCKD_LAYER_BLOCK", "15"))
+# 10 layers/block keeps each block's pressure-grid span comfortably inside
+# the 16-point contraction window (60 RFMIP layers -> ~0.9 grid pts/layer,
+# so ~9 points/block + column jitter); 16 points * 8 t-slots = 128 rows =
+# exactly one MXU contraction depth.  Larger windows measured a cliff
+# (129+ rows -> two MXU passes).
+LAYER_BLOCK = int(os.environ.get("ECCKD_LAYER_BLOCK", "10"))
+P_WINDOW = int(os.environ.get("ECCKD_PWINDOW", "16"))
 
 
 def _block_lanes(x: jax.Array, lb: int, col_tile: int,
@@ -241,8 +248,7 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     npl_pad = ((n_planck + 7) // 8) * 8
     n_p_pad = ((p.n_p + 7) // 8) * 8
 
-    table_hi, table_lo = common.split_bf16(
-        plan_mod.stacked_table(model, p, gas_concs.names, F32))
+    table_t = plan_mod.stacked_table_t(model, p, gas_concs.names, F32)
     vmrs = plan_mod.stacked_vmrs(p, gas_concs, ncol, nlay, F32)
     if vmrs is None:
         vmrs = jnp.zeros((1, nlay, ncol), F32)
@@ -285,7 +291,7 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     kernel = functools.partial(
         _lw_kernel, plan=p, nlay=nlay, n_planck=n_planck, npl_pad=npl_pad,
         secants=tuple(secants), weights=tuple(weights), lb=lb, n_blk=n_blk,
-        n_blk_lev=n_blk_lev, ctile=COL_TILE)
+        n_blk_lev=n_blk_lev, ctile=COL_TILE, wp=P_WINDOW)
 
     nlev = nlay + 1
     n_vmr = vmr_t.shape[0]
@@ -299,8 +305,7 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n_p_pad, 1), rep2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(table_hi.shape, rep2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(table_hi.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(table_t.shape, rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, npl_pad), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, npl_pad), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, 1), rep2, memory_space=pltpu.VMEM),
@@ -340,9 +345,13 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
                         ng, lb * COL_TILE), F32),            # planck lev blk
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            # The windowed/full contraction cond co-allocates both
+            # branches' stack buffers; the default 16 MB scoped-vmem soft
+            # limit is slightly exceeded, the physical budget is not.
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(params, t_first, table_hi, table_lo, planck_hi, planck_lo,
+    )(params, t_first, table_t, planck_hi, planck_lo,
       planck_row0, logp_t, dp_t, tlay_t, tlev_t, tsfc_t, emis_t, vmr_t)
     flux_up, flux_dn = out
     return flux_up[:, :ncol].T, flux_dn[:, :ncol].T

@@ -158,6 +158,34 @@ def stacked_table(model: CKDModel, plan: GasOpticsPlan,
     return out
 
 
+def stacked_table_t(model: CKDModel, plan: GasOpticsPlan,
+                    gas_names: Tuple[str, ...], dtype) -> jax.Array:
+    """(n_p * 8, n_slices * NG) TRANSPOSED stacked table for the
+    pressure-WINDOWED contraction: sublane row p*8 + t (temperature axis
+    padded 6 -> 8 so windows of whole pressure points stay 8-sublane
+    aligned for dynamic slicing), lane column s*NG + g.  Zero padding keeps
+    the windowed one-hot contraction exact."""
+    contributions = resolve_contributions(model, gas_names)
+    n_p, n_t, ngpt = plan.n_p, plan.n_t, plan.ngpt
+    blocks = []
+    for c in contributions:
+        gi = c.gas_index
+        code = model.gas_codes[gi]
+        if code == constants.CONC_LUT:
+            table = model.coeff_lut[model.gas_table_idx[gi]]
+            for v in range(table.shape[0]):
+                blocks.append(table[v])
+        else:
+            blocks.append(model.coeff_dense[model.gas_table_idx[gi]])
+    out = jnp.zeros((n_p * 8, len(blocks) * plan.ng_pad), dtype)
+    for s, blk in enumerate(blocks):
+        t = jnp.zeros((n_p, 8, ngpt), dtype).at[:, :n_t, :].set(
+            blk.reshape(n_p, n_t, ngpt).astype(dtype))
+        out = jax.lax.dynamic_update_slice(
+            out, t.reshape(n_p * 8, ngpt), (0, s * plan.ng_pad))
+    return out
+
+
 def stacked_vmrs(plan: GasOpticsPlan, gas_concs: GasConcs, ncol: int,
                  nlay: int, dtype) -> Optional[jax.Array]:
     """(n_vmr [+ n_lut], nlay, ncol) vmr profiles in kernel (layer, column)

@@ -148,3 +148,37 @@ def test_fused_multi_tile_heterogeneous_columns():
                                atol=3e-5 * scale)
     np.testing.assert_allclose(np.asarray(up), np.asarray(ref.flux_up),
                                atol=3e-5 * scale)
+
+
+def test_fused_pressure_window_fallback():
+    """Columns within one tile whose pressures span the WHOLE table grid at
+    each layer index force the windowed contraction's spread check to fail
+    and take the full-table cond branch (ops/pallas/common.py
+    gas_tau_block); results must still match the XLA path exactly."""
+    ncol, nlay = 8, 12
+    rng = np.random.default_rng(13)
+    # Column i's whole profile sits at a different decade of pressure:
+    # layer j spread across columns ~ the full 53-point grid.
+    p_sfc = np.logspace(2.0, 5.0, ncol)          # 100 Pa .. 1e5 Pa
+    plev = np.stack([np.logspace(np.log10(2.0), np.log10(ps), nlay + 1)
+                     for ps in p_sfc]).astype(np.float64)
+    tlay = rng.uniform(200.0, 290.0, (ncol, nlay))
+    tlev = rng.uniform(200.0, 290.0, (ncol, nlay + 1))
+    tsfc = rng.uniform(270.0, 300.0, ncol)
+    h2o = 10.0 ** rng.uniform(-6, -2, (ncol, nlay))
+    concs = GasConcs.create({"h2o": jnp.asarray(h2o, F32), "co2": 4.0e-4,
+                             "o3": 1e-6, "ch4": 1.8e-6})
+    model = load_ckd_model(LW_FSCK, dtype=np.dtype(F32))
+    f32 = lambda x: jnp.asarray(x, F32)
+    emis = jnp.full((ncol,), 0.9, F32)
+    ref = lw_fluxes(model, f32(plev), f32(tlay), f32(tlev), f32(tsfc),
+                    emis, concs, n_gauss_angles=1, backend="xla")
+    emis_gpt = jnp.broadcast_to(emis[:, None], (ncol, model.ngpt))
+    up, dn = lw_fluxes_fused(model, f32(plev), f32(tlay), f32(tlev),
+                             f32(tsfc), emis_gpt, concs, n_gauss_angles=1,
+                             interpret=True)
+    scale = float(jnp.abs(ref.flux_up).max())
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ref.flux_up),
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(dn), np.asarray(ref.flux_dn),
+                               atol=3e-5 * scale)
