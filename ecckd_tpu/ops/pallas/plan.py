@@ -131,33 +131,6 @@ def build_plan(model: CKDModel, gas_names: Tuple[str, ...]) -> GasOpticsPlan:
         fused_ok=table_nonneg(model) and len(lut_names) <= 1)
 
 
-def stacked_table(model: CKDModel, plan: GasOpticsPlan,
-                  gas_names: Tuple[str, ...], dtype) -> jax.Array:
-    """(n_slices * NG, NPT) stacked transposed coefficient table.
-
-    Row block s holds slice s's table as (gpt, p*n_t + t); g-point rows
-    beyond ngpt and grid columns beyond n_p*n_t are zero, so the padded
-    one-hot contraction is exact.
-    """
-    contributions = resolve_contributions(model, gas_names)
-    n_p, n_t, ngpt = plan.n_p, plan.n_t, plan.ngpt
-    blocks = []
-    for c in contributions:
-        gi = c.gas_index
-        code = model.gas_codes[gi]
-        if code == constants.CONC_LUT:
-            table = model.coeff_lut[model.gas_table_idx[gi]]  # (nv,np,nt,ngpt)
-            for v in range(table.shape[0]):
-                blocks.append(table[v])
-        else:
-            blocks.append(model.coeff_dense[model.gas_table_idx[gi]])
-    out = jnp.zeros((len(blocks) * plan.ng_pad, plan.npt_pad), dtype)
-    for s, blk in enumerate(blocks):
-        t = blk.reshape(n_p * n_t, ngpt).T.astype(dtype)  # (ngpt, np*nt)
-        out = jax.lax.dynamic_update_slice(out, t, (s * plan.ng_pad, 0))
-    return out
-
-
 def stacked_table_t(model: CKDModel, plan: GasOpticsPlan,
                     gas_names: Tuple[str, ...], dtype) -> jax.Array:
     """(n_p * 8, n_slices * NG) TRANSPOSED stacked table for the
