@@ -48,6 +48,11 @@ def make_parser(prog: str) -> argparse.ArgumentParser:
     p.add_argument("--heating-rates", action="store_true",
                    help="Also write layer heating rates [K/day] "
                         "(hrl/hrs files; framework extension)")
+    p.add_argument("--coordinator", default=None,
+                   help="Multi-host SPMD coordinator address host:port "
+                        "(jax.distributed); single-host if omitted")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--validate", action="store_true",
                    help="Validate physical input ranges and assert output "
                         "finiteness (utils/checks.py)")
@@ -65,6 +70,15 @@ def setup_compilation_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+def setup_distributed(args) -> None:
+    """Multi-host SPMD init (SURVEY.md section 5.8): after this, the same
+    1-D columns mesh spans every host's devices and each host feeds its
+    local shard.  No-op single-host."""
+    if getattr(args, "num_processes", None):
+        pmesh.init_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
+
+
 def setup_precision(precision: str) -> np.dtype:
     setup_compilation_cache()
     if precision == "f64":
@@ -74,6 +88,7 @@ def setup_precision(precision: str) -> np.dtype:
 
 
 def load_inputs(args) -> Tuple[RFMIPData, CKDModel]:
+    setup_distributed(args)
     data = read_rfmip(args.rfmip_file, args.forcing_index)
     print(f" Using 1 fused batch of {data.ncol} columns "
           f"({data.nsite} sites x {data.nexp} experiments)", file=sys.stderr)
