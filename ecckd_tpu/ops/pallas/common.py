@@ -227,29 +227,41 @@ def pressure_temperature_index(log_p, t_lay, t_first_ref, log_p0, inv_dlogp,
 
 
 def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
-                  table_t_ref, log_p0, inv_dlogp, inv_dt,
-                  log_mf0, inv_dlogv, plan, mpp, wp=16):
+                  dense_t_ref, lut_t_ref, log_p0, inv_dlogp, inv_dt,
+                  log_mf0, inv_dlogv, plan, mpp, wp=16, wv=4):
     """Total gas optical depth of one LAYER BLOCK for one column tile.
 
     The fused equivalent of the reference per-gas loop
-    (gas_optics_ecckd.f90:323-376): one MXU contraction against the stacked
-    table, then a static per-slice weighted accumulation on the VPU with the
+    (gas_optics_ecckd.f90:323-376): MXU contractions against the stacked
+    dense table and a mole-fraction window of the LUT (h2o) table, with a
+    static per-slice weighted accumulation on the VPU and the
     non-negativity clamp applied to the weights (valid because every table
     is non-negative; see ops/pallas/plan.py).
 
     Layer blocking: inputs are laid out (n_blocks, LB*C) with LB layers
     flattened onto the lane axis of each block row, so the one-hot build and
-    the MXU contraction run over LB*C lanes at once (per-layer matmuls are
+    the MXU contractions run over LB*C lanes at once (per-layer matmuls are
     latency-bound; ~4x).
 
     Pressure windowing: the contraction is FLOP-bound (measured ~73% MXU
     peak), and a layer block only ever touches a narrow band of the 53-point
     pressure grid, so the one-hot contracts against a dynamic ``wp``-point
     window of the TRANSPOSED table (sublane rows p*8 + t, see
-    plan.stacked_table_t) — a 424 -> wp*8 contraction-depth cut (~2.3x
-    measured end-to-end on the contraction).  A per-block lax.cond falls
-    back to the full table whenever the tile's pressure spread exceeds the
-    window, so the result is exact for arbitrary inputs.
+    plan.dense_table_t) — a 424 -> wp*8 contraction-depth cut (~2.3x
+    measured end-to-end on the contraction).
+
+    Mole-fraction windowing (the LUT gas): only 2 of the ~12 mole-fraction
+    slices are active per column, and a layer block spans only 1-3 grid
+    points of the log-uniform vmr axis, so the h2o optical depth contracts
+    ``wv`` (p-windowed) slices of the 3-D LUT table against the SAME
+    one-hot, with the tri-linear vmr weight folded into the per-slice
+    scalar row — cutting both the MXU output rows (12 NG-row slices -> wv)
+    and the per-slice VPU accumulation.
+
+    A single per-block lax.cond falls back to the full-grid path (full
+    pressure range, every mole-fraction slice) whenever the tile's pressure
+    or vmr spread exceeds its window, so the result is exact for arbitrary
+    inputs.
 
     ``logp_ref`` holds ln(layer pressure) and ``vmr_ref``'s LUT log-rows
     hold ln(max(vmr, mf0)) — both precomputed outside the kernel because
@@ -263,46 +275,35 @@ def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
 
     ng = plan.ng_pad
     n_t8 = 8                               # t-axis pitch of the transposed table
+    n_p = plan.n_p
     log_p = logp_ref[pl.ds(b, 1), :]
     d_p = dp_ref[pl.ds(b, 1), :]
     t_lay = tlay_ref[pl.ds(b, 1), :]
     i0p, wp1, i0t, wt1 = pressure_temperature_index(
         log_p, t_lay, t_first_ref[...], log_p0, inv_dlogp, inv_dt,
-        plan.n_p, plan.n_t)
-
-    def contract(relp, rows, tab):
-        oh = pt_onehot(rows, n_t8, relp, wp1, i0t, wt1)
-        return matmul_f32_t(tab, oh)       # (K, LB*C)
-
-    if wp >= plan.n_p:
-        coeff = contract(i0p, plan.n_p * n_t8, table_t_ref[...])
-    else:
-        base = jnp.clip(jnp.min(i0p), 0, plan.n_p - wp)
-        ok = jnp.max(i0p) - base <= wp - 2
-
-        def windowed(_):
-            win = table_t_ref[pl.ds(base * n_t8, wp * n_t8), :]
-            return contract(i0p - base, wp * n_t8, win)
-
-        def full(_):
-            return contract(i0p, plan.n_p * n_t8, table_t_ref[...])
-
-        coeff = jax.lax.cond(ok, windowed, full, 0)
+        n_p, plan.n_t)
     sw = mpp * d_p
 
     n_lut = plan.lut_sizes[0] if plan.lut_sizes else 0
-    h2o_slot = next((s.vmr_slot for s in plan.slices if s.kind == "lut"), -1)
-    if h2o_slot >= 0:
-        log_slot = plan.lut_log_slots[0]
-        vmr_h2o = vmr_ref[h2o_slot, b, :][None, :]
-        lv = vmr_ref[log_slot, b, :][None, :]
+    has_lut = n_lut > 0 and lut_t_ref is not None
+    if has_lut:
+        vmr_h2o = vmr_ref[plan.lut_vmr_slots[0], b, :][None, :]
+        lv = vmr_ref[plan.lut_log_slots[0], b, :][None, :]
         i0v, wv1 = frac_index((lv - log_mf0) * inv_dlogv, n_lut, clamp=1.001)
         w_h2o = sw * vmr_h2o
+        wv = min(wv, n_lut)
 
-    tau_blk = jnp.zeros((ng, coeff.shape[1]), F32)
-    for s, sl in enumerate(plan.slices):
-        block = coeff[s * ng:(s + 1) * ng, :]
-        if sl.kind == "dense":
+        def lut_weight(v):
+            return w_h2o * (jnp.where(i0v == v, 1.0 - wv1, F32(0.0))
+                            + jnp.where(i0v + 1 == v, wv1, F32(0.0)))
+
+    def tau_from(oh, dense_tab, lut_slice):
+        """Accumulate all gases against a one-hot; ``lut_slice`` holds
+        (table slice, weight) pairs matching the one-hot's row window."""
+        tau = jnp.zeros((ng, oh.shape[1]), F32)
+        if plan.slices:
+            coeff = matmul_f32_t(dense_tab, oh)   # (n_dense*NG, LB*C)
+        for s, sl in enumerate(plan.slices):
             if sl.vmr_slot >= 0:
                 vm = vmr_ref[sl.vmr_slot, b, :][None, :]
                 w = sw * (F32(sl.a) * vm + F32(sl.b))
@@ -311,12 +312,54 @@ def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
             # Non-negative tables turn the per-g-point clamp
             # (gas_optics_ecckd.f90:234-238) into a weight clamp.
             w = jnp.maximum(w, F32(0.0))
+            tau += w * coeff[s * ng:(s + 1) * ng, :]
+        if has_lut:
+            for dv, wght in lut_slice:
+                tau += wght * matmul_f32_t(dv, oh)
+        return tau
+
+    win_p = wp < n_p
+    win_v = has_lut and wv < n_lut
+    if win_p:
+        base_p = jnp.clip(jnp.min(i0p), 0, n_p - wp)
+        ok = jnp.max(i0p) - base_p <= wp - 2
+    if win_v:
+        base_v = jnp.clip(jnp.min(i0v), 0, n_lut - wv)
+        okv = jnp.max(i0v) - base_v <= wv - 2
+        ok = (ok & okv) if win_p else okv
+
+    has_dense = bool(plan.slices)
+
+    def fast(_):
+        if win_p:
+            oh = pt_onehot(wp * n_t8, n_t8, i0p - base_p, wp1, i0t, wt1)
+            dense_tab = (dense_t_ref[pl.ds(base_p * n_t8, wp * n_t8), :]
+                         if has_dense else None)
+            row0 = base_p * n_t8
+            nrow = wp * n_t8
         else:
-            v = sl.lut_index
-            wv = (jnp.where(i0v == v, 1.0 - wv1, F32(0.0))
-                  + jnp.where(i0v + 1 == v, wv1, F32(0.0)))
-            w = w_h2o * wv
-        tau_blk += w * block
+            oh = pt_onehot(n_p * n_t8, n_t8, i0p, wp1, i0t, wt1)
+            dense_tab = dense_t_ref[...] if has_dense else None
+            row0 = 0
+            nrow = n_p * n_t8
+        lut = []
+        if has_lut:
+            vb = base_v if win_v else 0
+            lut = [(lut_t_ref[vb + dv, pl.ds(row0, nrow), :]
+                    if (win_v or win_p) else lut_t_ref[dv],
+                    lut_weight(vb + dv)) for dv in range(wv)]
+        return tau_from(oh, dense_tab, lut)
+
+    def full(_):
+        oh = pt_onehot(n_p * n_t8, n_t8, i0p, wp1, i0t, wt1)
+        lut = ([(lut_t_ref[v], lut_weight(v)) for v in range(n_lut)]
+               if has_lut else [])
+        return tau_from(oh, dense_t_ref[...] if has_dense else None, lut)
+
+    if win_p or win_v:
+        tau_blk = jax.lax.cond(ok, fast, full, 0)
+    else:
+        tau_blk = fast(0)
     return tau_blk, d_p
 
 

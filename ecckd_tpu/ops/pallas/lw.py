@@ -39,15 +39,15 @@ P_LOG_P0, P_INV_DLOGP, P_INV_DT, P_PLANCK_T0, P_INV_PLANCK_DT, \
     P_LOG_MF0, P_INV_DLOGV, P_NPARAMS = range(8)
 
 
-def _lw_kernel(params_ref, t_first_ref, table_t_ref,
+def _lw_kernel(params_ref, t_first_ref, table_t_ref, lut_t_ref,
                planck_hi_ref, planck_lo_ref,
                planck_row0_ref, logp_ref, dp_ref, tlay_ref, tlev_ref,
                tsfc_ref, emis_ref, vmr_ref, up_ref, dn_ref,
-               tau_s, play_s, plevs_s, trans_s, srcup_s, plevb_s, *,
+               blk_a_s, blk_b_s, blk_c_s, trans_s, srcup_s, plevb_s, *,
                plan: plan_mod.GasOpticsPlan, nlay: int, n_planck: int,
                npl_pad: int, secants: Tuple[float, ...],
                weights: Tuple[float, ...], lb: int, n_blk: int,
-               n_blk_lev: int, ctile: int, wp: int):
+               n_blk_lev: int, ctile: int, wp: int, wv: int):
     log_p0 = params_ref[P_LOG_P0]
     inv_dlogp = params_ref[P_INV_DLOGP]
     inv_dt = params_ref[P_INV_DT]
@@ -69,30 +69,33 @@ def _lw_kernel(params_ref, t_first_ref, table_t_ref,
 
     # Phase A, LAYER-BLOCKED: each iteration interpolates optics + layer
     # Planck for ``lb`` layers at once over lb*ctile lanes (one big MXU
-    # contraction instead of lb latency-bound small ones; ~4x faster),
-    # then scatters the per-layer (NG, ctile) slices into scratch for the
-    # sequential sweeps.  In the common 1-angle case the transmittance and
-    # the linear-in-tau sources (exp, expm1, thin-layer series — the VPU-
-    # heavy per-layer math) are ALSO computed blocked here, so the sweeps
-    # below reduce to 3-op affine recurrences.  Level Planck is evaluated
-    # ONCE per level into blocked scratch; the per-layer dec/inc edges come
-    # from the aligned block and a one-chunk lane shift (levels j and j+1),
-    # not from two separate evaluations.  With 3 angles the per-angle
-    # transmittances would triple the scratch, so tau/planck are staged
-    # per layer instead and the sweep computes them.
-    if one_angle:
-        def level_blk_eval(b, carry):
-            plevb_s[b] = planck(tlev_ref[pl.ds(b, 1), :])
-            return carry
+    # contraction instead of lb latency-bound small ones; ~4x faster).
+    # Results stay in BLOCKED scratch — one (NG, lb*ctile) store per block —
+    # and the sequential sweeps below are Python-unrolled with STATIC
+    # (block row, vreg-aligned lane chunk) reads: per-layer scatter stores
+    # at a traced index measured ~8.8 ms/65k-col call, ~4x the cost of the
+    # sweeps themselves.
+    # In the common 1-angle case the transmittance and the linear-in-tau
+    # sources (exp, expm1, thin-layer series — the VPU-heavy per-layer math)
+    # are ALSO computed blocked here, so the sweeps reduce to 3-op affine
+    # recurrences.  Level Planck is evaluated ONCE per level into blocked
+    # scratch; the per-layer dec/inc edges come from the aligned block and a
+    # one-chunk lane shift (levels j and j+1), not from two separate
+    # evaluations.  With 3 angles the transmittance depends on the angle, so
+    # phase A stages tau/layer-Planck blocked and each angle's down sweep
+    # computes its own transmittance/sources per layer.
+    def level_blk_eval(b, carry):
+        plevb_s[b] = planck(tlev_ref[pl.ds(b, 1), :])
+        return carry
 
-        common.fori32(0, n_blk_lev, level_blk_eval, 0, unroll=False)
+    common.fori32(0, n_blk_lev, level_blk_eval, 0, unroll=False)
 
     def optics_block(b, carry):
         tau_blk, _dp = common.gas_tau_block(
             b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
-            table_t_ref,
+            table_t_ref, lut_t_ref,
             log_p0, inv_dlogp, inv_dt, log_mf0, inv_dlogv, plan, mpp,
-            wp=wp)
+            wp=wp, wv=wv)
         play_blk = planck(tlay_ref[pl.ds(b, 1), :])
         if one_angle:
             # dec edges of layers b*lb..b*lb+lb-1 are exactly level-block b;
@@ -111,35 +114,26 @@ def _lw_kernel(params_ref, t_first_ref, table_t_ref,
             fact = jnp.where(ts > thresh,
                              omt / jnp.maximum(ts, thresh) - tr,
                              ts * (0.5 - ts * (1.0 / 3.0)))
-            src_dn = omt * lev_inc + 2.0 * fact * (play_blk - lev_inc)
-            src_up = omt * lev_dec + 2.0 * fact * (play_blk - lev_dec)
-            for l in range(lb):
-                cs = slice(l * ctile, (l + 1) * ctile)
-                trans_s[b * lb + l] = tr[:, cs]
-                tau_s[b * lb + l] = src_dn[:, cs]
-                srcup_s[b * lb + l] = src_up[:, cs]
+            blk_a_s[b] = tr
+            blk_b_s[b] = omt * lev_inc + 2.0 * fact * (play_blk - lev_inc)
+            blk_c_s[b] = omt * lev_dec + 2.0 * fact * (play_blk - lev_dec)
         else:
-            for l in range(lb):
-                cs = slice(l * ctile, (l + 1) * ctile)
-                tau_s[b * lb + l] = tau_blk[:, cs]
-                play_s[b * lb + l] = play_blk[:, cs]
+            blk_a_s[b] = tau_blk
+            blk_b_s[b] = play_blk
         return carry
 
     common.fori32(0, n_blk, optics_block, 0, unroll=False)
 
-    if not one_angle:
-        def level_block(b, carry):
-            pb = planck(tlev_ref[pl.ds(b, 1), :])
-            for l in range(lb):
-                plevs_s[b * lb + l] = pb[:, l * ctile:(l + 1) * ctile]
-            return carry
-
-        common.fori32(0, n_blk_lev, level_block, 0, unroll=False)
     sfc_src = planck(tsfc_ref[...])
 
     up_ref[...] = jnp.zeros_like(up_ref)
     dn_ref[...] = jnp.zeros_like(dn_ref)
     emis = emis_ref[...]
+
+    def chunk(ref, j):
+        """Static (NG, ctile) view of layer/level j from blocked scratch."""
+        b, l = divmod(j, lb)
+        return ref[b][:, l * ctile:(l + 1) * ctile]
 
     for secant, weight in zip(secants, weights):
         sec = F32(secant)
@@ -147,19 +141,25 @@ def _lw_kernel(params_ref, t_first_ref, table_t_ref,
 
         if one_angle:
             def down_body(j, rad):
-                rad = trans_s[j] * rad + tau_s[j]   # tau_s holds src_dn
+                rad = chunk(blk_a_s, j) * rad + chunk(blk_b_s, j)  # src_dn
                 dn_ref[pl.ds(j + 1, 1), :] += w2pi * jnp.sum(
                     rad, axis=0, keepdims=True)
                 return rad
+
+            def up_body(j, rad):
+                rad = chunk(blk_a_s, j) * rad + chunk(blk_c_s, j)  # src_up
+                up_ref[pl.ds(j, 1), :] += w2pi * jnp.sum(rad, axis=0,
+                                                         keepdims=True)
+                return rad
         else:
             def down_body(j, rad):
-                ts = tau_s[j] * sec
+                ts = chunk(blk_a_s, j) * sec                       # tau
                 omt = -common.expm1_accurate(-ts)
                 tr = 1.0 - omt
                 trans_s[j] = tr
-                lay = play_s[j]
-                lev_inc = plevs_s[j + 1]
-                lev_dec = plevs_s[j]
+                lay = chunk(blk_b_s, j)                            # planck
+                lev_inc = chunk(plevb_s, j + 1)
+                lev_dec = chunk(plevb_s, j)
                 fact = jnp.where(ts > thresh,
                                  omt / jnp.maximum(ts, thresh) - tr,
                                  ts * (0.5 - ts * (1.0 / 3.0)))
@@ -170,21 +170,20 @@ def _lw_kernel(params_ref, t_first_ref, table_t_ref,
                     rad, axis=0, keepdims=True)
                 return rad
 
-        rad_top = jnp.zeros_like(sfc_src)
-        rad_sfc_dn = common.fori32(0, nlay, down_body, rad_top,
-                                       unroll=True)
-        rad = emis * sfc_src + (1.0 - emis) * rad_sfc_dn
+            def up_body(j, rad):
+                rad = trans_s[j] * rad + srcup_s[j]
+                up_ref[pl.ds(j, 1), :] += w2pi * jnp.sum(rad, axis=0,
+                                                         keepdims=True)
+                return rad
+
+        rad = jnp.zeros_like(sfc_src)
+        for j in range(nlay):
+            rad = down_body(j, rad)
+        rad = emis * sfc_src + (1.0 - emis) * rad
         up_ref[pl.ds(nlay, 1), :] += w2pi * jnp.sum(rad, axis=0,
                                                     keepdims=True)
-
-        def up_body(k, rad):
-            j = nlay - 1 - k
-            rad = trans_s[j] * rad + srcup_s[j]
-            up_ref[pl.ds(j, 1), :] += w2pi * jnp.sum(rad, axis=0,
-                                                     keepdims=True)
-            return rad
-
-        common.fori32(0, nlay, up_body, rad, unroll=True)
+        for j in reversed(range(nlay)):
+            rad = up_body(j, rad)
 
 
 # 10 layers/block keeps each block's pressure-grid span comfortably inside
@@ -194,6 +193,11 @@ def _lw_kernel(params_ref, t_first_ref, table_t_ref,
 # (129+ rows -> two MXU passes).
 LAYER_BLOCK = int(os.environ.get("ECCKD_LAYER_BLOCK", "10"))
 P_WINDOW = int(os.environ.get("ECCKD_PWINDOW", "16"))
+# Mole-fraction window (h2o LUT): a 10-layer block spans 1-3 points of the
+# log-uniform 12-point vmr axis (~0.46 decades/point; tropospheric h2o falls
+# ~1 decade per ~8 RFMIP layers), so 4 slices cover i0v..i0v+1 everywhere
+# observed; the lax.cond full fallback keeps arbitrary inputs exact.
+V_WINDOW = int(os.environ.get("ECCKD_VWINDOW", "4"))
 
 
 def _block_lanes(x: jax.Array, lb: int, col_tile: int,
@@ -248,7 +252,12 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     npl_pad = ((n_planck + 7) // 8) * 8
     n_p_pad = ((p.n_p + 7) // 8) * 8
 
-    table_t = plan_mod.stacked_table_t(model, p, gas_concs.names, F32)
+    table_t = plan_mod.dense_table_t(model, p, gas_concs.names, F32)
+    if table_t.shape[1] == 0:  # LUT-only request: kernel never reads it
+        table_t = jnp.zeros((table_t.shape[0], p.ng_pad), F32)
+    lut_t = plan_mod.lut_table_t(model, p, gas_concs.names, F32)
+    if lut_t is None:
+        lut_t = jnp.zeros((1, 8, p.ng_pad), F32)
     vmrs = plan_mod.stacked_vmrs(p, gas_concs, ncol, nlay, F32)
     if vmrs is None:
         vmrs = jnp.zeros((1, nlay, ncol), F32)
@@ -291,7 +300,7 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     kernel = functools.partial(
         _lw_kernel, plan=p, nlay=nlay, n_planck=n_planck, npl_pad=npl_pad,
         secants=tuple(secants), weights=tuple(weights), lb=lb, n_blk=n_blk,
-        n_blk_lev=n_blk_lev, ctile=COL_TILE, wp=P_WINDOW)
+        n_blk_lev=n_blk_lev, ctile=COL_TILE, wp=P_WINDOW, wv=V_WINDOW)
 
     nlev = nlay + 1
     n_vmr = vmr_t.shape[0]
@@ -306,6 +315,8 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n_p_pad, 1), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec(table_t.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(lut_t.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, npl_pad), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, npl_pad), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, 1), rep2, memory_space=pltpu.VMEM),
@@ -331,18 +342,21 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             jax.ShapeDtypeStruct((nlev, ncol_pad), F32),
         ],
         scratch_shapes=[
-            # 1-angle mode: tau slot holds src_dn; per-layer planck slots
-            # are unused (sources are precomputed) and the level planck
-            # lives blocked in plevb_s instead.
-            pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),     # tau / src_dn
-            pltpu.VMEM((1 if n_gauss_angles == 1 else n_blk * lb,
-                        ng, COL_TILE), F32),                 # planck lay
-            pltpu.VMEM((8 if n_gauss_angles == 1 else n_blk_lev * lb,
-                        ng, COL_TILE), F32),                 # planck lev
-            pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),     # trans
-            pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),     # src up
-            pltpu.VMEM((n_blk_lev if n_gauss_angles == 1 else 1,
-                        ng, lb * COL_TILE), F32),            # planck lev blk
+            # Blocked phase-A outputs (one store per layer block; the sweeps
+            # read static vreg-aligned lane chunks).  1-angle mode: a=trans,
+            # b=src_dn, c=src_up; 3-angle: a=tau, b=layer planck, c unused.
+            pltpu.VMEM((n_blk, ng, lb * COL_TILE), F32),     # blk a
+            pltpu.VMEM((n_blk, ng, lb * COL_TILE), F32),     # blk b
+            pltpu.VMEM((n_blk if n_gauss_angles == 1 else 1,
+                        ng, lb * COL_TILE), F32),            # blk c
+            # Per-layer staging for the 3-angle sweeps (down sweep computes
+            # the angle's transmittance/up-source at static j; up sweep
+            # consumes them).
+            pltpu.VMEM((1 if n_gauss_angles == 1 else nlay,
+                        ng, COL_TILE), F32),                 # trans (3-ang)
+            pltpu.VMEM((1 if n_gauss_angles == 1 else nlay,
+                        ng, COL_TILE), F32),                 # src up (3-ang)
+            pltpu.VMEM((n_blk_lev, ng, lb * COL_TILE), F32),  # planck lev blk
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
@@ -351,7 +365,7 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             # limit is slightly exceeded, the physical budget is not.
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(params, t_first, table_t, planck_hi, planck_lo,
+    )(params, t_first, table_t, lut_t, planck_hi, planck_lo,
       planck_row0, logp_t, dp_t, tlay_t, tlev_t, tsfc_t, emis_t, vmr_t)
     flux_up, flux_dn = out
     return flux_up[:, :ncol].T, flux_dn[:, :ncol].T

@@ -1,15 +1,19 @@
 """Trace-time gas-optics plan for the fused Pallas kernels.
 
 The reference's per-gas interpolation loop
-(/root/reference/src/gas_optics_ecckd.f90:323-376) becomes, on TPU, a single
-MXU contraction per (layer, column-tile): a one-hot interpolation matrix over
-the flattened (pressure, temperature) grid multiplied into one *stacked*
-coefficient table whose rows hold every contributing table slice —
+(/root/reference/src/gas_optics_ecckd.f90:323-376) becomes, on TPU, MXU
+contractions per (layer-block, column-tile) of one-hot interpolation
+matrices over the flattened (pressure, temperature) grid against two stacked
+coefficient tables:
 
-  * one ngpt-row slice per dense (bi-linear) gas, in requested order,
-  * one ngpt-row slice per mole-fraction grid point of each LUT gas (h2o),
-    so the tri-linear vmr interpolation becomes a per-column weighted sum of
-    pre-contracted slices on the VPU.
+  * a DENSE table with one ngpt-row slice per bi-linear gas, in requested
+    order, contracted once and combined by a static per-slice weighted sum;
+  * a LUT table (h2o) kept 3-D (mole_fraction, p*8+t, g-point) so the
+    tri-linear vmr interpolation contracts only a dynamic ``wv``-slice
+    window of the mole-fraction axis (2 active slices per column out of 12
+    in the shipped files), with the vmr interpolation weight folded into
+    the per-slice scalar row — instead of pre-contracting all 12 slices
+    and discarding 10 of them.
 
 Validity note: the per-g-point negative-optical-depth clamp
 (gas_optics_ecckd.f90:234-238) is implemented as a clamp on the per-column
@@ -39,24 +43,22 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class SlicePlan:
-    """One ngpt-row block of the stacked table."""
-    kind: str              # "dense" | "lut"
+    """One ngpt-row block of the stacked DENSE table."""
     vmr_slot: int          # row into the stacked vmr array, or -1 (composite)
     a: float               # weight = simple_weight * max(a*vmr + b, 0)
     b: float
-    lut_index: int = -1    # mole-fraction slice index for kind == "lut"
 
 
 @dataclasses.dataclass(frozen=True)
 class GasOpticsPlan:
     """Static structure + stacked arrays consumed by the fused kernels.
 
-    Array shapes (NG = ngpt padded to a multiple of 8, NPT = n_p * n_t
-    padded to a multiple of 8):
-      table_t   (n_slices * NG, NPT)   stacked transposed tables
-      vmrs      (n_vmr, nlay, ncol)    per-profile-gas vmr (built per call)
+    Array shapes (NG = ngpt padded to a multiple of 8):
+      dense table  (n_p * 8, n_dense * NG)   transposed, see dense_table_t
+      lut table    (n_lut, n_p * 8, NG)      see lut_table_t
+      vmrs         (n_vmr, nlay, ncol)       per-profile-gas vmr (per call)
     """
-    slices: Tuple[SlicePlan, ...]
+    slices: Tuple[SlicePlan, ...]   # dense gases only, requested order
     vmr_names: Tuple[str, ...]
     ngpt: int
     ng_pad: int
@@ -66,6 +68,8 @@ class GasOpticsPlan:
     lut_sizes: Tuple[int, ...]    # per-LUT-gas mole-fraction axis length
     lut_log_mf0: Tuple[float, ...]
     lut_inv_dlog: Tuple[float, ...]
+    lut_vmr_slots: Tuple[int, ...]
+    """Per-LUT-gas row in the stacked vmr array holding the plain vmr."""
     lut_log_slots: Tuple[int, ...]
     """Per-LUT-gas row in the stacked vmr array holding ln(max(vmr, mf0)),
     precomputed host-side (Mosaic's in-kernel log is too approximate)."""
@@ -94,7 +98,7 @@ def build_plan(model: CKDModel, gas_names: Tuple[str, ...]) -> GasOpticsPlan:
     lut_sizes: List[int] = []
     lut_log_mf0: List[float] = []
     lut_inv_dlog: List[float] = []
-    lut_names: List[str] = []
+    lut_slots: List[int] = []
 
     def vmr_slot(name: str) -> int:
         if name not in vmr_names:
@@ -109,54 +113,72 @@ def build_plan(model: CKDModel, gas_names: Tuple[str, ...]) -> GasOpticsPlan:
             lut_sizes.append(len(grid))
             lut_log_mf0.append(float(np.log(grid[0])))
             lut_inv_dlog.append(float(1.0 / np.log(grid[1] / grid[0])))
-            lut_names.append(c.name)
-            slot = vmr_slot(c.name)
-            for v in range(len(grid)):
-                slices.append(SlicePlan("lut", slot, 1.0, 0.0, lut_index=v))
+            lut_slots.append(vmr_slot(c.name))
         else:
             a, b = model.weight_scale_offset(gi)
             slot = vmr_slot(c.name) if a != 0.0 else -1
-            slices.append(SlicePlan("dense", slot, a, b))
+            slices.append(SlicePlan(slot, a, b))
 
     # ln(vmr) rows for LUT gases are appended after the plain vmr rows.
-    lut_log_slots = tuple(len(vmr_names) + i for i in range(len(lut_names)))
+    lut_log_slots = tuple(len(vmr_names) + i for i in range(len(lut_slots)))
     return GasOpticsPlan(
         slices=tuple(slices), vmr_names=tuple(vmr_names), ngpt=ngpt,
         ng_pad=ng_pad, npt_pad=npt_pad, n_p=n_p, n_t=n_t,
         lut_sizes=tuple(lut_sizes), lut_log_mf0=tuple(lut_log_mf0),
-        lut_inv_dlog=tuple(lut_inv_dlog), lut_log_slots=lut_log_slots,
+        lut_inv_dlog=tuple(lut_inv_dlog),
+        lut_vmr_slots=tuple(lut_slots), lut_log_slots=lut_log_slots,
         # The fused kernel wires exactly one LUT gas's vmr/mole-fraction
         # index through gas_tau_block; a hypothetical ckd file with two
         # LUT gases must take the XLA path.
-        fused_ok=table_nonneg(model) and len(lut_names) <= 1)
+        fused_ok=table_nonneg(model) and len(lut_slots) <= 1)
 
 
-def stacked_table_t(model: CKDModel, plan: GasOpticsPlan,
-                    gas_names: Tuple[str, ...], dtype) -> jax.Array:
-    """(n_p * 8, n_slices * NG) TRANSPOSED stacked table for the
-    pressure-WINDOWED contraction: sublane row p*8 + t (temperature axis
-    padded 6 -> 8 so windows of whole pressure points stay 8-sublane
-    aligned for dynamic slicing), lane column s*NG + g.  Zero padding keeps
-    the windowed one-hot contraction exact."""
+def _pt_slice(blk, n_p: int, n_t: int, ngpt: int, dtype) -> jax.Array:
+    """(n_p * 8, ngpt) transposed slice: sublane row p*8 + t (temperature
+    axis padded n_t -> 8 with zeros so windows of whole pressure points stay
+    8-sublane aligned for dynamic slicing)."""
+    t = jnp.zeros((n_p, 8, ngpt), dtype).at[:, :n_t, :].set(
+        blk.reshape(n_p, n_t, ngpt).astype(dtype))
+    return t.reshape(n_p * 8, ngpt)
+
+
+def dense_table_t(model: CKDModel, plan: GasOpticsPlan,
+                  gas_names: Tuple[str, ...], dtype) -> jax.Array:
+    """(n_p * 8, n_dense * NG) TRANSPOSED stacked dense-gas table for the
+    pressure-WINDOWED contraction: sublane row p*8 + t, lane column
+    s*NG + g.  Zero padding keeps the windowed one-hot contraction exact."""
     contributions = resolve_contributions(model, gas_names)
     n_p, n_t, ngpt = plan.n_p, plan.n_t, plan.ngpt
-    blocks = []
-    for c in contributions:
-        gi = c.gas_index
-        code = model.gas_codes[gi]
-        if code == constants.CONC_LUT:
-            table = model.coeff_lut[model.gas_table_idx[gi]]
-            for v in range(table.shape[0]):
-                blocks.append(table[v])
-        else:
-            blocks.append(model.coeff_dense[model.gas_table_idx[gi]])
+    blocks = [model.coeff_dense[model.gas_table_idx[c.gas_index]]
+              for c in contributions
+              if model.gas_codes[c.gas_index] != constants.CONC_LUT]
     out = jnp.zeros((n_p * 8, len(blocks) * plan.ng_pad), dtype)
     for s, blk in enumerate(blocks):
-        t = jnp.zeros((n_p, 8, ngpt), dtype).at[:, :n_t, :].set(
-            blk.reshape(n_p, n_t, ngpt).astype(dtype))
         out = jax.lax.dynamic_update_slice(
-            out, t.reshape(n_p * 8, ngpt), (0, s * plan.ng_pad))
+            out, _pt_slice(blk, n_p, n_t, ngpt, dtype), (0, s * plan.ng_pad))
     return out
+
+
+def lut_table_t(model: CKDModel, plan: GasOpticsPlan,
+                gas_names: Tuple[str, ...], dtype) -> Optional[jax.Array]:
+    """(n_lut, n_p * 8, NG) LUT-gas (h2o) table, one (p*8+t, g-point) slice
+    per mole-fraction grid point, g-points zero-padded to NG lanes.  Kept
+    3-D so the kernel can contract a dynamic mole-fraction window (leading
+    dim) x pressure window (sublane dim).  None when no LUT gas is in the
+    requested set."""
+    contributions = resolve_contributions(model, gas_names)
+    n_p, n_t, ngpt = plan.n_p, plan.n_t, plan.ngpt
+    for c in contributions:
+        gi = c.gas_index
+        if model.gas_codes[gi] == constants.CONC_LUT:
+            table = model.coeff_lut[model.gas_table_idx[gi]]
+            n_lut = table.shape[0]
+            out = jnp.zeros((n_lut, n_p * 8, plan.ng_pad), dtype)
+            for v in range(n_lut):
+                out = out.at[v, :, :ngpt].set(
+                    _pt_slice(table[v], n_p, n_t, ngpt, dtype))
+            return out
+    return None
 
 
 def stacked_vmrs(plan: GasOpticsPlan, gas_concs: GasConcs, ncol: int,
@@ -168,8 +190,7 @@ def stacked_vmrs(plan: GasOpticsPlan, gas_concs: GasConcs, ncol: int,
         return None
     rows = [gas_concs.get_vmr(n, ncol, nlay).astype(dtype).T
             for n in plan.vmr_names]
-    lut_slots = sorted({s.vmr_slot for s in plan.slices if s.kind == "lut"})
-    for i, slot in enumerate(lut_slots):
+    for i, slot in enumerate(plan.lut_vmr_slots):
         mf0 = float(np.exp(plan.lut_log_mf0[i]))
         rows.append(jnp.log(jnp.maximum(rows[slot], mf0)))
     return jnp.stack(rows)

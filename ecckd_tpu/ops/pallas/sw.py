@@ -28,19 +28,19 @@ from ecckd_tpu.models.ckd import CKDModel
 from ecckd_tpu.ops.pallas import common, plan as plan_mod
 from ecckd_tpu.ops.pallas.lw import (COL_TILE, LAYER_BLOCK, P_INV_DLOGP,
                                      P_INV_DLOGV, P_INV_DT, P_LOG_MF0,
-                                     P_LOG_P0, P_WINDOW, _block_lanes,
-                                     _pad_cols)
+                                     P_LOG_P0, P_WINDOW, V_WINDOW,
+                                     _block_lanes, _pad_cols)
 
 F32 = jnp.float32
 
 
-def _sw_kernel(params_ref, t_first_ref, table_t_ref,
+def _sw_kernel(params_ref, t_first_ref, table_t_ref, lut_t_ref,
                ray_ref, solar_ref,
                logp_ref, dp_ref, tlay_ref, mu0_ref, tsi_scale_ref,
                alb_dir_ref, alb_dif_ref, vmr_ref, up_ref, dn_ref,
                rdif_s, tdif_s, srcup_s, srcdn_s, albedo_s, src_s, denom_s,
                *, plan: plan_mod.GasOpticsPlan, nlay: int, lb: int,
-               n_blk: int, ctile: int, wp: int):
+               n_blk: int, ctile: int, wp: int, wv: int):
     log_p0 = params_ref[P_LOG_P0]
     inv_dlogp = params_ref[P_INV_DLOGP]
     inv_dt = params_ref[P_INV_DT]
@@ -68,9 +68,9 @@ def _sw_kernel(params_ref, t_first_ref, table_t_ref,
         inv_mu0 = 1.0 / mu0
         tau_gas, d_p = common.gas_tau_block(
             b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
-            table_t_ref,
+            table_t_ref, lut_t_ref,
             log_p0, inv_dlogp, inv_dt, log_mf0, inv_dlogv, plan, mpp,
-            wp=wp)
+            wp=wp, wv=wv)
         tau_ray = (mpp * d_p) * ray_ref[...]                # (NG, C)
         tau = tau_gas + tau_ray
         ssa = tau_ray / jnp.maximum(tau, tiny)
@@ -185,7 +185,12 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     ng = p.ng_pad
     n_p_pad = ((p.n_p + 7) // 8) * 8
 
-    table_t = plan_mod.stacked_table_t(model, p, gas_concs.names, F32)
+    table_t = plan_mod.dense_table_t(model, p, gas_concs.names, F32)
+    if table_t.shape[1] == 0:  # LUT-only request: kernel never reads it
+        table_t = jnp.zeros((table_t.shape[0], p.ng_pad), F32)
+    lut_t = plan_mod.lut_table_t(model, p, gas_concs.names, F32)
+    if lut_t is None:
+        lut_t = jnp.zeros((1, 8, p.ng_pad), F32)
     vmrs = plan_mod.stacked_vmrs(p, gas_concs, ncol, nlay, F32)
     if vmrs is None:
         vmrs = jnp.zeros((1, nlay, ncol), F32)
@@ -238,7 +243,8 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     lb = LAYER_BLOCK
     n_blk = -(-nlay // lb)
     kernel = functools.partial(_sw_kernel, plan=p, nlay=nlay, lb=lb,
-                               n_blk=n_blk, ctile=COL_TILE, wp=P_WINDOW)
+                               n_blk=n_blk, ctile=COL_TILE, wp=P_WINDOW,
+                               wv=V_WINDOW)
     nlev = nlay + 1
     n_vmr = vmr_t.shape[0]
     rep2 = lambda i: (0, 0)
@@ -251,6 +257,8 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n_p_pad, 1), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec(table_t.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(lut_t.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, 1), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, 1), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_blk, lb * COL_TILE), col2,
@@ -291,7 +299,7 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             # limit is slightly exceeded, the physical budget is not.
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(params, t_first, table_t, ray, solar_col, logp_t, dp_t,
+    )(params, t_first, table_t, lut_t, ray, solar_col, logp_t, dp_t,
       tlay_t, mu0_t, tsi_t, alb_t, alb_t, vmr_t)
     flux_up, flux_dn = out
     mask = usecol.astype(F32)[:, None]

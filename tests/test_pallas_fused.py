@@ -150,6 +150,52 @@ def test_fused_multi_tile_heterogeneous_columns():
                                atol=3e-5 * scale)
 
 
+def test_fused_lut_only_gas_set():
+    """A request containing ONLY the LUT gas (h2o) leaves the stacked
+    dense table with zero slices; the kernel must skip the dense
+    contraction instead of emitting a 0-lane load (regression: Mosaic
+    'vector types must have positive constant sizes')."""
+    model = load_ckd_model(LW_FSCK, dtype=np.dtype(F32))
+    plev, tlay, tlev, tsfc, _ = _inputs(ncol=4)
+    concs = GasConcs.create({"h2o": jnp.full((4, tlay.shape[1]), 5e-3, F32)})
+    ref = lw_fluxes(model, plev, tlay, tlev, tsfc,
+                    jnp.full((4,), 1.0, F32), concs, backend="xla")
+    emis_gpt = jnp.ones((4, model.ngpt), F32)
+    up, dn = lw_fluxes_fused(model, plev, tlay, tlev, tsfc, emis_gpt,
+                             concs, interpret=True)
+    scale = float(jnp.abs(ref.flux_up).max())
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ref.flux_up),
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(dn), np.asarray(ref.flux_dn),
+                               atol=3e-5 * scale)
+
+
+def test_fused_vmr_window_fallback():
+    """Per-column h2o spanning >4 decades within one tile forces the
+    mole-fraction window's spread check to fail and take the full-LUT
+    cond branch; results must still match the XLA path."""
+    model = load_ckd_model(LW_FSCK, dtype=np.dtype(F32))
+    ncol, nlay = 8, 16
+    plev, tlay, tlev, tsfc, _ = _inputs(ncol=ncol, nlay=nlay, seed=5)
+    rng = np.random.default_rng(21)
+    # log-uniform over nearly the whole 12-point LUT axis, varying by
+    # column AND layer so a single layer block sees a wide vmr spread.
+    h2o = 10.0 ** rng.uniform(-6.5, -1.5, (ncol, nlay))
+    concs = GasConcs.create({"h2o": jnp.asarray(h2o, F32), "co2": 4.0e-4,
+                             "o3": 1e-6})
+    emis = jnp.full((ncol,), 0.9, F32)
+    ref = lw_fluxes(model, plev, tlay, tlev, tsfc, emis, concs,
+                    backend="xla")
+    emis_gpt = jnp.broadcast_to(emis[:, None], (ncol, model.ngpt))
+    up, dn = lw_fluxes_fused(model, plev, tlay, tlev, tsfc, emis_gpt,
+                             concs, interpret=True)
+    scale = float(jnp.abs(ref.flux_up).max())
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ref.flux_up),
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(dn), np.asarray(ref.flux_dn),
+                               atol=3e-5 * scale)
+
+
 def test_fused_pressure_window_fallback():
     """Columns within one tile whose pressures span the WHOLE table grid at
     each layer index force the windowed contraction's spread check to fail
