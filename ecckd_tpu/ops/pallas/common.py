@@ -58,19 +58,18 @@ def pair_onehot(n_rows: int, i0: jax.Array, w1: jax.Array) -> jax.Array:
 def pt_onehot(npt_pad: int, n_t: int, i0p: jax.Array, wp1: jax.Array,
               i0t: jax.Array, wt1: jax.Array) -> jax.Array:
     """(npt_pad, C) bi-linear one-hot over the flattened (pressure,
-    temperature) grid: row p*n_t + t gets wp(p) * wt(t)."""
-    iota = jax.lax.broadcasted_iota(I32, (npt_pad, 1), 0)
-    # lax.div, not //: jnp floor_divide round-trips through int64 when x64
-    # is enabled, which Mosaic's convert lowering cannot handle (infinite
-    # recursion).  iota is non-negative so truncating division is exact.
-    pid = jax.lax.div(iota, jnp.asarray(n_t, I32))
-    tid = iota - pid * n_t
-    zero = jnp.zeros((), wp1.dtype)
-    ohp = (jnp.where(pid == i0p, 1.0 - wp1, zero)
-           + jnp.where(pid == i0p + 1, wp1, zero))
-    oht = (jnp.where(tid == i0t, 1.0 - wt1, zero)
-           + jnp.where(tid == i0t + 1, wt1, zero))
-    return ohp * oht
+    temperature) grid: row p*n_t + t gets wp(p) * wt(t).
+
+    Built FACTORED: the (n_p, C) pressure and (n_t, C) temperature pair
+    masks are formed separately (4 compare/selects over n_p + n_t rows)
+    and combined by one broadcast multiply over the npt_pad rows — ~4x
+    fewer VPU ops than comparing per flattened row, with identical
+    products."""
+    n_p = npt_pad // n_t
+    ohp = pair_onehot(n_p, i0p, wp1)                     # (n_p, C)
+    oht = pair_onehot(n_t, i0t, wt1)                     # (n_t, C)
+    out = ohp[:, None, :] * oht[None, :, :]              # (n_p, n_t, C)
+    return out.reshape(npt_pad, ohp.shape[-1])
 
 
 _LOG2E = 1.4426950408889634
@@ -370,6 +369,12 @@ def planck_eval(t_row, planck_hi_ref, planck_lo_ref, planck_row0_ref, t0,
     Mirrors ops/planck.py: linear interp with top-end linear extrapolation
     (w1 > 1 allowed), below-grid scaling B = (T/T0) * row0, and the final
     division by pi (gas_optics_ecckd.f90:245-289).
+
+    The full 231-row table is contracted every call: a dynamic
+    temperature WINDOW (like the pressure/vmr windows of gas_tau_block)
+    was measured SLOWER — the pair one-hot and 2-pass bf16 contraction at
+    depth 240 cost ~2 us/eval, and the window's cond + dynamic bf16
+    sublane slice overhead exceeds what it saves.
     """
     idx = (t_row - t0) * inv_dt
     i0 = jnp.clip(jnp.floor(idx), F32(0.0), F32(n_planck - 2.0)).astype(I32)

@@ -60,9 +60,11 @@ def _sw_kernel(params_ref, t_first_ref, table_t_ref, lut_t_ref,
     dn_ref[pl.ds(0, 1), :] = jnp.sum(dir_top, axis=0, keepdims=True)
 
     # --- Phase A (LAYER-BLOCKED): optics + two-stream R/T for lb layers
-    # per iteration (one big MXU contraction; see gas_tau_block), scattered
-    # into per-layer scratch.  t_noscat is staged in denom_s, which phase B
-    # only overwrites after phase A1 consumed it.
+    # per iteration (one big MXU contraction; see gas_tau_block), stored
+    # BLOCKED — one (NG, lb*C) store per scratch per block (per-layer
+    # scatter stores at a traced index are ~4x the cost of the sweeps;
+    # see ops/pallas/lw.py phase A).  t_noscat is staged in denom_s,
+    # which phase B only overwrites after phase A1 consumed it.
     def optics_block(b, carry):
         mu0 = mu0_ref[pl.ds(b, 1), :]                       # (1, lb*C)
         inv_mu0 = 1.0 / mu0
@@ -88,9 +90,6 @@ def _sw_kernel(params_ref, t_first_ref, table_t_ref, lut_t_ref,
         m1 = em1 * (2.0 - em1)
         exp_mktau = 1.0 - em1
         exp_m2ktau = 1.0 - m1
-        rt_term = 1.0 / (k * (1.0 + exp_m2ktau) + gamma1 * m1)
-        r_dif = rt_term * gamma2 * m1
-        t_dif = rt_term * 2.0 * k * exp_mktau
         tm1 = -common.expm1_accurate(-tau * inv_mu0)
         t_noscat = 1.0 - tm1
 
@@ -100,7 +99,15 @@ def _sw_kernel(params_ref, t_first_ref, table_t_ref, lut_t_ref,
         k_half = k * 0.5
         denom = 1.0 - k_mu * k_mu
         denom = jnp.where(jnp.abs(denom) >= eps, denom, eps)
-        rt2 = ssa * rt_term / denom
+        # One reciprocal serves both quotients: rt_term = 1/A and
+        # rt2 = ssa/(A*denom) come from R = 1/(A*denom) as denom*R and
+        # ssa*R (VPU divides are the costliest ops in this phase).
+        a_term = k * (1.0 + exp_m2ktau) + gamma1 * m1
+        r_all = 1.0 / (a_term * denom)
+        rt_term = denom * r_all
+        rt2 = ssa * r_all
+        r_dif = rt_term * gamma2 * m1
+        t_dif = rt_term * 2.0 * k * exp_mktau
         q = em1 * em1 + 2.0 * exp_mktau * tm1
         s = em1 * em1 - tm1 * (1.0 + exp_m2ktau)
         r_dir = rt2 * (alpha * (m1 - k_mu * q) + k_half * (q - k_mu * m1))
@@ -109,61 +116,60 @@ def _sw_kernel(params_ref, t_first_ref, table_t_ref, lut_t_ref,
         r_dir = jnp.clip(r_dir, F32(0.0), 1.0 - t_noscat)
         t_dir = jnp.clip(t_dir, F32(0.0), 1.0 - t_noscat - r_dir)
 
-        for l in range(lb):
-            sl = slice(l * ctile, (l + 1) * ctile)
-            j = b * lb + l
-            rdif_s[j] = r_dif[:, sl]
-            tdif_s[j] = t_dif[:, sl]
-            srcup_s[j] = r_dir[:, sl]
-            srcdn_s[j] = t_dir[:, sl]
-            denom_s[j] = t_noscat[:, sl]
+        rdif_s[b] = r_dif
+        tdif_s[b] = t_dif
+        srcup_s[b] = r_dir
+        srcdn_s[b] = t_dir
+        denom_s[b] = t_noscat
         return carry
 
     common.fori32(0, n_blk, optics_block, 0, unroll=False)
 
-    # --- Phase A1: serial direct-beam sweep (top-down) -------------------
-    def direct_body(j, direct):
-        srcup_s[j] = srcup_s[j] * direct
-        srcdn_s[j] = srcdn_s[j] * direct
-        direct = denom_s[j] * direct        # t_noscat staged in denom_s
-        dn_ref[pl.ds(j + 1, 1), :] = jnp.sum(direct, axis=0, keepdims=True)
-        return direct
+    def chunk(ref, j):
+        """Static (NG, C) view of layer j from blocked scratch."""
+        bb, l = divmod(j, lb)
+        return ref[bb][:, l * ctile:(l + 1) * ctile]
 
-    dir_sfc = common.fori32(0, nlay, direct_body, dir_top, unroll=True)
+    def chunk_set(ref, j, val):
+        bb, l = divmod(j, lb)
+        ref[bb, :, l * ctile:(l + 1) * ctile] = val
+
+    # --- Phase A1: serial direct-beam sweep (top-down) -------------------
+    direct = dir_top
+    for j in range(nlay):
+        chunk_set(srcup_s, j, chunk(srcup_s, j) * direct)
+        chunk_set(srcdn_s, j, chunk(srcdn_s, j) * direct)
+        direct = chunk(denom_s, j) * direct  # t_noscat staged in denom_s
+        dn_ref[pl.ds(j + 1, 1), :] = jnp.sum(direct, axis=0, keepdims=True)
+    dir_sfc = direct
 
     # --- Phase B: albedo/source of the stack below each level (bottom-up) -
     albedo_s[nlay] = alb_dif_ref[...]
     src_s[nlay] = alb_dir_ref[...] * dir_sfc
 
-    def up_accum(k, carry):
-        albedo, src = carry
-        j = nlay - 1 - k
-        r_dif = rdif_s[j]
-        t_dif = tdif_s[j]
+    albedo, src = albedo_s[nlay], src_s[nlay]
+    for j in reversed(range(nlay)):
+        r_dif = chunk(rdif_s, j)
+        t_dif = chunk(tdif_s, j)
         denom = 1.0 / (1.0 - r_dif * albedo)
-        denom_s[j] = denom
+        chunk_set(denom_s, j, denom)
         albedo_new = r_dif + t_dif * t_dif * albedo * denom
-        src_new = srcup_s[j] + t_dif * denom * (src + albedo * srcdn_s[j])
-        albedo_s[j] = albedo_new
-        src_s[j] = src_new
-        return (albedo_new, src_new)
-
-    common.fori32(0, nlay, up_accum,
-                      (albedo_s[nlay], src_s[nlay]), unroll=True)
+        src = chunk(srcup_s, j) + t_dif * denom * (src + albedo
+                                                   * chunk(srcdn_s, j))
+        albedo = albedo_new
+        albedo_s[j] = albedo
+        src_s[j] = src
 
     # --- Phase C: downward diffuse sweep, fusing the broadband sums -------
     up_ref[pl.ds(0, 1), :] = jnp.sum(src_s[0], axis=0, keepdims=True)
 
-    def dn_sweep(j, dn):
-        denom = denom_s[j]
-        dn = (tdif_s[j] * dn + rdif_s[j] * src_s[j + 1] + srcdn_s[j]) * denom
+    dn = jnp.zeros_like(dir_top)
+    for j in range(nlay):
+        dn = (chunk(tdif_s, j) * dn + chunk(rdif_s, j) * src_s[j + 1]
+              + chunk(srcdn_s, j)) * chunk(denom_s, j)
         up = dn * albedo_s[j + 1] + src_s[j + 1]
         dn_ref[pl.ds(j + 1, 1), :] += jnp.sum(dn, axis=0, keepdims=True)
         up_ref[pl.ds(j + 1, 1), :] = jnp.sum(up, axis=0, keepdims=True)
-        return dn
-
-    zero_dn = jnp.zeros_like(dir_top)
-    common.fori32(0, nlay, dn_sweep, zero_dn, unroll=True)
 
 
 def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
@@ -284,13 +290,13 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             jax.ShapeDtypeStruct((nlev, ncol_pad), F32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),  # r_dif
-            pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),  # t_dif
-            pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),  # src up (r_dir)
-            pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),  # src dn (t_dir)
+            pltpu.VMEM((n_blk, ng, lb * COL_TILE), F32),  # r_dif
+            pltpu.VMEM((n_blk, ng, lb * COL_TILE), F32),  # t_dif
+            pltpu.VMEM((n_blk, ng, lb * COL_TILE), F32),  # src up (r_dir)
+            pltpu.VMEM((n_blk, ng, lb * COL_TILE), F32),  # src dn (t_dir)
             pltpu.VMEM((nlev, ng, COL_TILE), F32),        # albedo per level
             pltpu.VMEM((nlev, ng, COL_TILE), F32),        # src per level
-            pltpu.VMEM((n_blk * lb, ng, COL_TILE), F32),  # t_noscat -> denom
+            pltpu.VMEM((n_blk, ng, lb * COL_TILE), F32),  # t_noscat -> denom
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),

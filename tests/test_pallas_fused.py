@@ -196,6 +196,32 @@ def test_fused_vmr_window_fallback():
                                atol=3e-5 * scale)
 
 
+def test_fused_planck_window_fallback():
+    """Temperatures spanning nearly the whole 231-point Planck grid within
+    one tile (including below-grid < 120 K and above-grid > 350 K) force
+    the windowed Planck contraction's spread check to fail and take the
+    full-table cond branch; results must still match the XLA path,
+    including the below-grid scaling and top extrapolation."""
+    model = load_ckd_model(LW_FSCK, dtype=np.dtype(F32))
+    ncol, nlay = 8, 12
+    plev, _tlay, _tlev, _tsfc, concs = _inputs(ncol=ncol, nlay=nlay, seed=9)
+    rng = np.random.default_rng(17)
+    tlay = jnp.asarray(rng.uniform(100.0, 360.0, (ncol, nlay)), F32)
+    tlev = jnp.asarray(rng.uniform(100.0, 360.0, (ncol, nlay + 1)), F32)
+    tsfc = jnp.asarray(np.linspace(105.0, 355.0, ncol), F32)
+    emis = jnp.full((ncol,), 0.9, F32)
+    ref = lw_fluxes(model, plev, tlay, tlev, tsfc, emis, concs,
+                    backend="xla")
+    emis_gpt = jnp.broadcast_to(emis[:, None], (ncol, model.ngpt))
+    up, dn = lw_fluxes_fused(model, plev, tlay, tlev, tsfc, emis_gpt,
+                             concs, interpret=True)
+    scale = float(jnp.abs(ref.flux_up).max())
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ref.flux_up),
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(dn), np.asarray(ref.flux_dn),
+                               atol=3e-5 * scale)
+
+
 def test_fused_pressure_window_fallback():
     """Columns within one tile whose pressures span the WHOLE table grid at
     each layer index force the windowed contraction's spread check to fail
