@@ -225,9 +225,10 @@ def pressure_temperature_index(log_p, t_lay, t_first_ref, log_p0, inv_dlogp,
     return i0p, wp1, i0t, wt1
 
 
-def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
+def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
+                  vmr_kinds, t_first_ref,
                   dense_t_ref, lut_t_ref, log_p0, inv_dlogp, inv_dt,
-                  log_mf0, inv_dlogv, plan, mpp, wp=16, wv=4):
+                  log_mf0, inv_dlogv, plan, mpp, lb=1, wp=16, wv=4):
     """Total gas optical depth of one LAYER BLOCK for one column tile.
 
     The fused equivalent of the reference per-gas loop
@@ -262,11 +263,17 @@ def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
     or vmr spread exceeds its window, so the result is exact for arbitrary
     inputs.
 
-    ``logp_ref`` holds ln(layer pressure) and ``vmr_ref``'s LUT log-rows
-    hold ln(max(vmr, mf0)) — both precomputed outside the kernel because
+    ``logp_ref`` holds ln(layer pressure) and the vmr LUT log-rows hold
+    ln(max(vmr, mf0)) — both precomputed outside the kernel because
     Mosaic's log approximation (~3e-4 rel) is too coarse for index
     arithmetic.  ``dp_ref`` holds the level-pressure differences (zero on
     padded layer rows, making their tau exactly zero).
+
+    vmr rows are split by ``vmr_kinds`` (see plan.split_vmrs): profile
+    rows live layer-blocked in ``vmrp_ref`` (n_pr, n_blk, LB*C); scalar
+    (well-mixed) rows live in ``vmrs_ref`` (n_sc, C) and are broadcast
+    across the LB in-block layers by an in-VMEM lane tile — far cheaper
+    than materializing per-layer copies through HBM host-side.
 
     Returns (tau_blk (NG, LB*C), d_p (1, LB*C)).
     """
@@ -283,11 +290,19 @@ def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
         n_p, plan.n_t)
     sw = mpp * d_p
 
+    def vmr_row(slot):
+        """(1, LB*C) vmr row for a plan slot from the split stacks."""
+        kind, idx = vmr_kinds[slot]
+        if kind == "p":
+            return vmrp_ref[idx, b, :][None, :]
+        row = vmrs_ref[pl.ds(idx, 1), :]          # (1, C)
+        return (jnp.concatenate([row] * lb, axis=1) if lb > 1 else row)
+
     n_lut = plan.lut_sizes[0] if plan.lut_sizes else 0
     has_lut = n_lut > 0 and lut_t_ref is not None
     if has_lut:
-        vmr_h2o = vmr_ref[plan.lut_vmr_slots[0], b, :][None, :]
-        lv = vmr_ref[plan.lut_log_slots[0], b, :][None, :]
+        vmr_h2o = vmr_row(plan.lut_vmr_slots[0])
+        lv = vmr_row(plan.lut_log_slots[0])
         i0v, wv1 = frac_index((lv - log_mf0) * inv_dlogv, n_lut, clamp=1.001)
         w_h2o = sw * vmr_h2o
         wv = min(wv, n_lut)
@@ -304,7 +319,7 @@ def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
             coeff = matmul_f32_t(dense_tab, oh)   # (n_dense*NG, LB*C)
         for s, sl in enumerate(plan.slices):
             if sl.vmr_slot >= 0:
-                vm = vmr_ref[sl.vmr_slot, b, :][None, :]
+                vm = vmr_row(sl.vmr_slot)
                 w = sw * (F32(sl.a) * vm + F32(sl.b))
             else:
                 w = sw * F32(sl.b)

@@ -42,10 +42,10 @@ P_LOG_P0, P_INV_DLOGP, P_INV_DT, P_PLANCK_T0, P_INV_PLANCK_DT, \
 def _lw_kernel(params_ref, t_first_ref, table_t_ref, lut_t_ref,
                planck_hi_ref, planck_lo_ref,
                planck_row0_ref, logp_ref, dp_ref, tlay_ref, tlev_ref,
-               tsfc_ref, emis_ref, vmr_ref, up_ref, dn_ref,
+               tsfc_ref, emis_ref, vmrp_ref, vmrs_ref, up_ref, dn_ref,
                blk_a_s, blk_b_s, blk_c_s, trans_s, srcup_s, plevb_s, *,
-               plan: plan_mod.GasOpticsPlan, nlay: int, n_planck: int,
-               npl_pad: int, secants: Tuple[float, ...],
+               plan: plan_mod.GasOpticsPlan, vmr_kinds, nlay: int,
+               n_planck: int, npl_pad: int, secants: Tuple[float, ...],
                weights: Tuple[float, ...], lb: int, n_blk: int,
                n_blk_lev: int, ctile: int, wp: int, wv: int):
     log_p0 = params_ref[P_LOG_P0]
@@ -92,10 +92,10 @@ def _lw_kernel(params_ref, t_first_ref, table_t_ref, lut_t_ref,
 
     def optics_block(b, carry):
         tau_blk, _dp = common.gas_tau_block(
-            b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
-            table_t_ref, lut_t_ref,
+            b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref, vmr_kinds,
+            t_first_ref, table_t_ref, lut_t_ref,
             log_p0, inv_dlogp, inv_dt, log_mf0, inv_dlogv, plan, mpp,
-            wp=wp, wv=wv)
+            lb=lb, wp=wp, wv=wv)
         play_blk = planck(tlay_ref[pl.ds(b, 1), :])
         if one_angle:
             # dec edges of layers b*lb..b*lb+lb-1 are exactly level-block b;
@@ -202,24 +202,29 @@ V_WINDOW = int(os.environ.get("ECCKD_VWINDOW", "4"))
 
 def _block_lanes(x: jax.Array, lb: int, col_tile: int,
                  pad_value: float | None = None) -> jax.Array:
-    """Re-lay a (rows, ncol_pad) array as (n_blk, ntiles * lb * col_tile):
-    ``lb`` consecutive rows are flattened onto the lane axis of each tile's
-    block so in-kernel ops cover lb layers at once (see gas_tau_block).
-    Rows are padded to a multiple of ``lb`` — by edge copy (valid physics)
-    or with ``pad_value`` (e.g. 0 for pressure thickness => tau == 0)."""
-    rows, ncol_pad = x.shape
+    """Re-lay a (..., rows, ncol_pad) array as (..., n_blk, ntiles * lb *
+    col_tile): ``lb`` consecutive rows are flattened onto the lane axis of
+    each tile's block so in-kernel ops cover lb layers at once (see
+    gas_tau_block).  Rows are padded to a multiple of ``lb`` — by edge
+    copy (valid physics) or with ``pad_value`` (e.g. 0 for pressure
+    thickness => tau == 0).  A leading batch axis (the stacked vmr rows)
+    relayouts in the same single fused XLA pass instead of one per row."""
+    lead = x.shape[:-2]
+    rows, ncol_pad = x.shape[-2:]
     n_blk = -(-rows // lb)
     pad = n_blk * lb - rows
     if pad:
         if pad_value is None:
-            x = jnp.concatenate([x, jnp.broadcast_to(x[-1:], (pad, ncol_pad))])
+            tail = jnp.broadcast_to(x[..., -1:, :], lead + (pad, ncol_pad))
         else:
-            x = jnp.concatenate(
-                [x, jnp.full((pad, ncol_pad), pad_value, x.dtype)])
+            tail = jnp.full(lead + (pad, ncol_pad), pad_value, x.dtype)
+        x = jnp.concatenate([x, tail], axis=-2)
     ntiles = ncol_pad // col_tile
-    x = x.reshape(n_blk, lb, ntiles, col_tile)
-    return jnp.transpose(x, (0, 2, 1, 3)).reshape(
-        n_blk, ntiles * lb * col_tile)
+    x = x.reshape(lead + (n_blk, lb, ntiles, col_tile))
+    nd = x.ndim
+    perm = tuple(range(nd - 4)) + (nd - 4, nd - 2, nd - 3, nd - 1)
+    return jnp.transpose(x, perm).reshape(
+        lead + (n_blk, ntiles * lb * col_tile))
 
 
 def _pad_cols(x: jax.Array, ncol_pad: int) -> jax.Array:
@@ -258,9 +263,12 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     lut_t = plan_mod.lut_table_t(model, p, gas_concs.names, F32)
     if lut_t is None:
         lut_t = jnp.zeros((1, 8, p.ng_pad), F32)
-    vmrs = plan_mod.stacked_vmrs(p, gas_concs, ncol, nlay, F32)
-    if vmrs is None:
-        vmrs = jnp.zeros((1, nlay, ncol), F32)
+    vmr_prof, vmr_scal, vmr_kinds = plan_mod.split_vmrs(
+        p, gas_concs, ncol, nlay, F32)
+    if vmr_prof is None:
+        vmr_prof = jnp.zeros((1, nlay, ncol), F32)
+    if vmr_scal is None:
+        vmr_scal = jnp.zeros((1, ncol), F32)
 
     lp = model.log_pressure.astype(F32)
     tg = model.temperature_grid.astype(F32)
@@ -293,17 +301,18 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     emis_t = _pad_cols(
         jnp.zeros((ng, ncol), F32).at[:model.ngpt].set(
             emis_gpt.astype(F32).T), ncol_pad)
-    vmr_p = _pad_cols(vmrs, ncol_pad)
-    vmr_t = jnp.stack([blk(vmr_p[i]) for i in range(vmr_p.shape[0])])
+    vmrp_t = blk(_pad_cols(vmr_prof, ncol_pad))
+    vmrs_t = _pad_cols(vmr_scal, ncol_pad)
 
     secants, weights = gauss_angles(n_gauss_angles)
     kernel = functools.partial(
-        _lw_kernel, plan=p, nlay=nlay, n_planck=n_planck, npl_pad=npl_pad,
+        _lw_kernel, plan=p, vmr_kinds=vmr_kinds, nlay=nlay,
+        n_planck=n_planck, npl_pad=npl_pad,
         secants=tuple(secants), weights=tuple(weights), lb=lb, n_blk=n_blk,
         n_blk_lev=n_blk_lev, ctile=COL_TILE, wp=P_WINDOW, wv=V_WINDOW)
 
     nlev = nlay + 1
-    n_vmr = vmr_t.shape[0]
+    n_vp, n_vs = vmrp_t.shape[0], vmrs_t.shape[0]
     rep2 = lambda i: (0, 0)
     col2 = lambda i: (0, i)
     rep3c = lambda i: (0, 0, i)
@@ -330,8 +339,9 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, COL_TILE), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, COL_TILE), col2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_vmr, n_blk, lb * COL_TILE), rep3c,
+            pl.BlockSpec((n_vp, n_blk, lb * COL_TILE), rep3c,
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_vs, COL_TILE), col2, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((nlev, COL_TILE), col2, memory_space=pltpu.VMEM),
@@ -366,6 +376,7 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(params, t_first, table_t, lut_t, planck_hi, planck_lo,
-      planck_row0, logp_t, dp_t, tlay_t, tlev_t, tsfc_t, emis_t, vmr_t)
+      planck_row0, logp_t, dp_t, tlay_t, tlev_t, tsfc_t, emis_t,
+      vmrp_t, vmrs_t)
     flux_up, flux_dn = out
     return flux_up[:, :ncol].T, flux_dn[:, :ncol].T

@@ -181,16 +181,44 @@ def lut_table_t(model: CKDModel, plan: GasOpticsPlan,
     return None
 
 
-def stacked_vmrs(plan: GasOpticsPlan, gas_concs: GasConcs, ncol: int,
-                 nlay: int, dtype) -> Optional[jax.Array]:
-    """(n_vmr [+ n_lut], nlay, ncol) vmr profiles in kernel (layer, column)
-    layout; LUT gases get an extra ln(max(vmr, mf0)) row (plan.lut_log_slots)
-    so the kernel never calls Mosaic's approximate log."""
+def split_vmrs(plan: GasOpticsPlan, gas_concs: GasConcs, ncol: int,
+               nlay: int, dtype
+               ) -> Tuple[Optional[jax.Array], Optional[jax.Array],
+                          Tuple[Tuple[str, int], ...]]:
+    """Trace-time profile/scalar split of the stacked vmr rows.
+
+    Returns (profiles (n_pr, nlay, ncol) | None, scalars (n_sc, ncol) |
+    None, kinds), where ``kinds[slot] = ("p"|"s", index)`` maps each plan
+    vmr slot into one of the two stacks; LUT gases get an appended
+    ln(max(vmr, mf0)) row (plan.lut_log_slots) so the kernel never calls
+    Mosaic's approximate log.  Gases stored without a layer axis (the RFMIP
+    well-mixed species) stay as (ncol,) rows — the kernel broadcasts them
+    across the lane-blocked layer axis for free instead of the host
+    materializing and relayouting a (nlay, ncol) profile per gas."""
     if not plan.vmr_names:
-        return None
-    rows = [gas_concs.get_vmr(n, ncol, nlay).astype(dtype).T
-            for n in plan.vmr_names]
+        return None, None, ()
+    prof: List[jax.Array] = []
+    scal: List[jax.Array] = []
+    kinds: List[Tuple[str, int]] = []
+
+    def add(row: jax.Array) -> None:
+        if row.ndim == 2:
+            kinds.append(("p", len(prof)))
+            prof.append(row)
+        else:
+            kinds.append(("s", len(scal)))
+            scal.append(row)
+
+    for n in plan.vmr_names:
+        v = jnp.asarray(gas_concs.values[gas_concs.names.index(n)])
+        if v.ndim == 2:                       # (ncol, nlay) profile
+            add(v.astype(dtype).T)
+        else:                                 # () or (ncol,) well-mixed
+            add(jnp.broadcast_to(jnp.atleast_1d(v).astype(dtype), (ncol,)))
     for i, slot in enumerate(plan.lut_vmr_slots):
         mf0 = float(np.exp(plan.lut_log_mf0[i]))
-        rows.append(jnp.log(jnp.maximum(rows[slot], mf0)))
-    return jnp.stack(rows)
+        kind, idx = kinds[slot]
+        row = prof[idx] if kind == "p" else scal[idx]
+        add(jnp.log(jnp.maximum(row, mf0)))
+    return (jnp.stack(prof) if prof else None,
+            jnp.stack(scal) if scal else None, tuple(kinds))

@@ -37,10 +37,10 @@ F32 = jnp.float32
 def _sw_kernel(params_ref, t_first_ref, table_t_ref, lut_t_ref,
                ray_ref, solar_ref,
                logp_ref, dp_ref, tlay_ref, mu0_ref, tsi_scale_ref,
-               alb_dir_ref, alb_dif_ref, vmr_ref, up_ref, dn_ref,
+               alb_dir_ref, alb_dif_ref, vmrp_ref, vmrs_ref, up_ref, dn_ref,
                rdif_s, tdif_s, srcup_s, srcdn_s, albedo_s, src_s, denom_s,
-               *, plan: plan_mod.GasOpticsPlan, nlay: int, lb: int,
-               n_blk: int, ctile: int, wp: int, wv: int):
+               *, plan: plan_mod.GasOpticsPlan, vmr_kinds, nlay: int,
+               lb: int, n_blk: int, ctile: int, wp: int, wv: int):
     log_p0 = params_ref[P_LOG_P0]
     inv_dlogp = params_ref[P_INV_DLOGP]
     inv_dt = params_ref[P_INV_DT]
@@ -50,9 +50,12 @@ def _sw_kernel(params_ref, t_first_ref, table_t_ref, lut_t_ref,
     eps = F32(float(np.finfo(np.float32).eps))
     tiny = F32(float(np.finfo(np.float32).tiny))
 
-    # mu0 arrives layer-blocked (n_blk, lb*C); the per-tile (1, C) row is
-    # any lb-chunk of block 0 (mu0 is layer-invariant).
-    mu0_tile = mu0_ref[pl.ds(0, 1), :ctile]  # (1, C)
+    # mu0 is layer-invariant: one (1, C) row per tile, lane-tiled to the
+    # blocked (1, lb*C) layout in VMEM where phase A needs it.
+    mu0_tile = mu0_ref[...]                  # (1, C)
+    mu0_blk = (jnp.concatenate([mu0_tile] * lb, axis=1) if lb > 1
+               else mu0_tile)                # (1, lb*C)
+    inv_mu0_blk = 1.0 / mu0_blk
     up_ref[...] = jnp.zeros_like(up_ref)
     dn_ref[...] = jnp.zeros_like(dn_ref)
 
@@ -66,13 +69,13 @@ def _sw_kernel(params_ref, t_first_ref, table_t_ref, lut_t_ref,
     # see ops/pallas/lw.py phase A).  t_noscat is staged in denom_s,
     # which phase B only overwrites after phase A1 consumed it.
     def optics_block(b, carry):
-        mu0 = mu0_ref[pl.ds(b, 1), :]                       # (1, lb*C)
-        inv_mu0 = 1.0 / mu0
+        mu0 = mu0_blk                                       # (1, lb*C)
+        inv_mu0 = inv_mu0_blk
         tau_gas, d_p = common.gas_tau_block(
-            b, logp_ref, dp_ref, tlay_ref, vmr_ref, t_first_ref,
-            table_t_ref, lut_t_ref,
+            b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref, vmr_kinds,
+            t_first_ref, table_t_ref, lut_t_ref,
             log_p0, inv_dlogp, inv_dt, log_mf0, inv_dlogv, plan, mpp,
-            wp=wp, wv=wv)
+            lb=lb, wp=wp, wv=wv)
         tau_ray = (mpp * d_p) * ray_ref[...]                # (NG, C)
         tau = tau_gas + tau_ray
         ssa = tau_ray / jnp.maximum(tau, tiny)
@@ -197,9 +200,12 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     lut_t = plan_mod.lut_table_t(model, p, gas_concs.names, F32)
     if lut_t is None:
         lut_t = jnp.zeros((1, 8, p.ng_pad), F32)
-    vmrs = plan_mod.stacked_vmrs(p, gas_concs, ncol, nlay, F32)
-    if vmrs is None:
-        vmrs = jnp.zeros((1, nlay, ncol), F32)
+    vmr_prof, vmr_scal, vmr_kinds = plan_mod.split_vmrs(
+        p, gas_concs, ncol, nlay, F32)
+    if vmr_prof is None:
+        vmr_prof = jnp.zeros((1, nlay, ncol), F32)
+    if vmr_scal is None:
+        vmr_scal = jnp.zeros((1, ncol), F32)
 
     lp = model.log_pressure.astype(F32)
     tg = model.temperature_grid.astype(F32)
@@ -239,20 +245,20 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     dp_t = blk(_pad_cols((plev[:, 1:] - plev[:, :-1]).astype(F32).T,
                          ncol_pad), 0.0)
     tlay_t = blk(_pad_cols(tlay.astype(F32).T, ncol_pad))
-    mu0_t = blk(jnp.broadcast_to(_pad_cols(mu0[None, :].astype(F32),
-                                           ncol_pad), (nlay, ncol_pad)))
+    mu0_t = _pad_cols(mu0[None, :].astype(F32), ncol_pad)
     tsi_t = _pad_cols(tsi_scale.astype(F32), ncol_pad)
     alb_t = _pad_cols(alb_gpt, ncol_pad)
-    vmr_p = _pad_cols(vmrs, ncol_pad)
-    vmr_t = jnp.stack([blk(vmr_p[i]) for i in range(vmr_p.shape[0])])
+    vmrp_t = blk(_pad_cols(vmr_prof, ncol_pad))
+    vmrs_t = _pad_cols(vmr_scal, ncol_pad)
 
     lb = LAYER_BLOCK
     n_blk = -(-nlay // lb)
-    kernel = functools.partial(_sw_kernel, plan=p, nlay=nlay, lb=lb,
+    kernel = functools.partial(_sw_kernel, plan=p, vmr_kinds=vmr_kinds,
+                               nlay=nlay, lb=lb,
                                n_blk=n_blk, ctile=COL_TILE, wp=P_WINDOW,
                                wv=V_WINDOW)
     nlev = nlay + 1
-    n_vmr = vmr_t.shape[0]
+    n_vp, n_vs = vmrp_t.shape[0], vmrs_t.shape[0]
     rep2 = lambda i: (0, 0)
     rep3c = lambda i: (0, 0, i)
     col2 = lambda i: (0, i)
@@ -273,13 +279,13 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_blk, lb * COL_TILE), col2,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blk, lb * COL_TILE), col2,
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, COL_TILE), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, COL_TILE), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, COL_TILE), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, COL_TILE), col2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_vmr, n_blk, lb * COL_TILE), rep3c,
+            pl.BlockSpec((n_vp, n_blk, lb * COL_TILE), rep3c,
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_vs, COL_TILE), col2, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((nlev, COL_TILE), col2, memory_space=pltpu.VMEM),
@@ -306,7 +312,7 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(params, t_first, table_t, lut_t, ray, solar_col, logp_t, dp_t,
-      tlay_t, mu0_t, tsi_t, alb_t, alb_t, vmr_t)
+      tlay_t, mu0_t, tsi_t, alb_t, alb_t, vmrp_t, vmrs_t)
     flux_up, flux_dn = out
     mask = usecol.astype(F32)[:, None]
     return flux_up[:, :ncol].T * mask, flux_dn[:, :ncol].T * mask
