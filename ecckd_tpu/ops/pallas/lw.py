@@ -32,6 +32,10 @@ from ecckd_tpu.solvers.quadrature import gauss_angles
 
 import os
 COL_TILE = int(os.environ.get("ECCKD_COL_TILE", "128"))
+# The LW kernel prefers a 256-column tile (halved grid overhead measured
+# -5% wall; the SW kernel REGRESSES at 256 — larger per-level adding
+# scratch — so it stays at COL_TILE).
+LW_COL_TILE = int(os.environ.get("ECCKD_LW_COL_TILE", "256"))
 F32 = jnp.float32
 
 # params SMEM layout
@@ -286,11 +290,12 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
         jnp.zeros((ng, npl_pad), F32).at[:model.ngpt, :n_planck].set(pf.T))
     planck_row0 = jnp.zeros((ng, 1), F32).at[:model.ngpt, 0].set(pf[0])
 
-    ncol_pad = ((ncol + COL_TILE - 1) // COL_TILE) * COL_TILE
+    ct = LW_COL_TILE
+    ncol_pad = ((ncol + ct - 1) // ct) * ct
     lb = LAYER_BLOCK
     n_blk = -(-nlay // lb)
     n_blk_lev = -(-(nlay + 1) // lb)
-    blk = lambda x, pv=None: _block_lanes(x, lb, COL_TILE, pv)
+    blk = lambda x, pv=None: _block_lanes(x, lb, ct, pv)
     logp_t = blk(_pad_cols(
         jnp.log(0.5 * (plev[:, 1:] + plev[:, :-1])).astype(F32).T, ncol_pad))
     dp_t = blk(_pad_cols((plev[:, 1:] - plev[:, :-1]).astype(F32).T,
@@ -309,14 +314,14 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
         _lw_kernel, plan=p, vmr_kinds=vmr_kinds, nlay=nlay,
         n_planck=n_planck, npl_pad=npl_pad,
         secants=tuple(secants), weights=tuple(weights), lb=lb, n_blk=n_blk,
-        n_blk_lev=n_blk_lev, ctile=COL_TILE, wp=P_WINDOW, wv=V_WINDOW)
+        n_blk_lev=n_blk_lev, ctile=ct, wp=P_WINDOW, wv=V_WINDOW)
 
     nlev = nlay + 1
     n_vp, n_vs = vmrp_t.shape[0], vmrs_t.shape[0]
     rep2 = lambda i: (0, 0)
     col2 = lambda i: (0, i)
     rep3c = lambda i: (0, 0, i)
-    grid = (ncol_pad // COL_TILE,)
+    grid = (ncol_pad // ct,)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -329,23 +334,23 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             pl.BlockSpec((ng, npl_pad), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, npl_pad), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, 1), rep2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blk, lb * COL_TILE), col2,
+            pl.BlockSpec((n_blk, lb * ct), col2,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blk, lb * COL_TILE), col2,
+            pl.BlockSpec((n_blk, lb * ct), col2,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blk, lb * COL_TILE), col2,
+            pl.BlockSpec((n_blk, lb * ct), col2,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blk_lev, lb * COL_TILE), col2,
+            pl.BlockSpec((n_blk_lev, lb * ct), col2,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, COL_TILE), col2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng, COL_TILE), col2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_vp, n_blk, lb * COL_TILE), rep3c,
+            pl.BlockSpec((1, ct), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, ct), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_vp, n_blk, lb * ct), rep3c,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_vs, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_vs, ct), col2, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((nlev, COL_TILE), col2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nlev, COL_TILE), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nlev, ct), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nlev, ct), col2, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nlev, ncol_pad), F32),
@@ -355,18 +360,18 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             # Blocked phase-A outputs (one store per layer block; the sweeps
             # read static vreg-aligned lane chunks).  1-angle mode: a=trans,
             # b=src_dn, c=src_up; 3-angle: a=tau, b=layer planck, c unused.
-            pltpu.VMEM((n_blk, ng, lb * COL_TILE), F32),     # blk a
-            pltpu.VMEM((n_blk, ng, lb * COL_TILE), F32),     # blk b
+            pltpu.VMEM((n_blk, ng, lb * ct), F32),     # blk a
+            pltpu.VMEM((n_blk, ng, lb * ct), F32),     # blk b
             pltpu.VMEM((n_blk if n_gauss_angles == 1 else 1,
-                        ng, lb * COL_TILE), F32),            # blk c
+                        ng, lb * ct), F32),            # blk c
             # Per-layer staging for the 3-angle sweeps (down sweep computes
             # the angle's transmittance/up-source at static j; up sweep
             # consumes them).
             pltpu.VMEM((1 if n_gauss_angles == 1 else nlay,
-                        ng, COL_TILE), F32),                 # trans (3-ang)
+                        ng, ct), F32),                 # trans (3-ang)
             pltpu.VMEM((1 if n_gauss_angles == 1 else nlay,
-                        ng, COL_TILE), F32),                 # src up (3-ang)
-            pltpu.VMEM((n_blk_lev, ng, lb * COL_TILE), F32),  # planck lev blk
+                        ng, ct), F32),                 # src up (3-ang)
+            pltpu.VMEM((n_blk_lev, ng, lb * ct), F32),  # planck lev blk
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),

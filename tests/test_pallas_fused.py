@@ -115,8 +115,9 @@ def test_fused_multi_tile_heterogeneous_columns():
     BlockSpec index maps (a broken map that always fetches tile 0's vmr
     passed all single-tile tests but silently corrupted tiles >= 1 on
     hardware)."""
-    from ecckd_tpu.ops.pallas.lw import COL_TILE
-    ncol = COL_TILE + 37          # forces 2 tiles incl. a padded one
+    from ecckd_tpu.ops.pallas.lw import COL_TILE, LW_COL_TILE
+    # > the LW tile (256) so BOTH kernels see >= 2 tiles incl. a padded one
+    ncol = max(COL_TILE, LW_COL_TILE) + 37
     model = load_ckd_model(LW_FSCK, dtype=np.dtype(F32))
     plev, tlay, tlev, tsfc, concs = _inputs(ncol=ncol, nlay=23, seed=8)
     emis = jnp.full((ncol,), 0.95, F32)
