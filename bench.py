@@ -65,7 +65,7 @@ def run_bench(mode: str) -> None:
     import numpy as np
     dtype = np.dtype(dtype_name)
     from ecckd_tpu.models.loader import load_ckd_model
-    from ecckd_tpu.pipeline import lw_fluxes, sw_fluxes
+    from ecckd_tpu.pipeline import lw_sw_fluxes
 
     nlay = 60
     lw = load_ckd_model(LW_FILE, dtype=dtype)
@@ -75,11 +75,13 @@ def run_bench(mode: str) -> None:
     chunk = int(os.environ.get("ECCKD_BENCH_CHUNK", "8192"))
     # Models are jit arguments placed on device once (closing over them
     # forces a device->host fetch of every table at lowering time).
-    lw_step = jax.jit(lambda m, plev, tlay, tlev, tsfc, emis, concs:
-                      lw_fluxes(m, plev, tlay, tlev, tsfc, emis, concs,
-                                n_gauss_angles=1, column_chunk=chunk))
-    sw_step = jax.jit(lambda m, plev, tlay, concs, alb, tsi, sza: sw_fluxes(
-        m, plev, tlay, concs, alb, tsi, sza, column_chunk=chunk))
+    # lw_sw_fluxes runs the MERGED LW+SW mega-kernel on TPU (one shared
+    # interpolation/one-hot pass; ops/pallas/lwsw.py) and falls back to
+    # the separate pipelines elsewhere.
+    step_fn = jax.jit(
+        lambda ml, ms, plev, tlay, tlev, tsfc, emis, concs, alb, tsi, sza:
+        lw_sw_fluxes(ml, ms, plev, tlay, tlev, tsfc, emis, concs, alb,
+                     tsi, sza, n_gauss_angles=1, column_chunk=chunk))
 
     lw_dev = jax.device_put(lw)
     sw_dev = jax.device_put(sw)
@@ -89,10 +91,9 @@ def run_bench(mode: str) -> None:
     import jax.numpy as jnp
 
     def step():
-        f1 = lw_step(lw_dev, args["plev"], args["tlay"], args["tlev"],
-                     args["tsfc"], args["emis"], concs)
-        f2 = sw_step(sw_dev, args["plev"], args["tlay"], concs, args["alb"],
-                     args["tsi"], args["sza"])
+        f1, f2 = step_fn(lw_dev, sw_dev, args["plev"], args["tlay"],
+                         args["tlev"], args["tsfc"], args["emis"], concs,
+                         args["alb"], args["tsi"], args["sza"])
         # A scalar derived from both outputs: fetching it host-side is the
         # only reliable completion barrier (on relayed TPU transports,
         # block_until_ready can return before the device executes).

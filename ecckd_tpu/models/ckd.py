@@ -85,6 +85,14 @@ class CKDModel:
                                             metadata=dict(static=True))
     """True if every coefficient table entry is >= 0 (checked at load);
     precondition for the fused Pallas gas-optics path (ops/pallas/plan.py)."""
+    grid_key: Tuple[int, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True))
+    """Fingerprint of the (pressure, temperature) interpolation grid,
+    set at load time (models/loader.py): the raw bytes of both grid
+    arrays hashed to a static tuple.  Two models with equal grid_key
+    share interpolation indices, enabling the merged LW+SW kernel
+    (ops/pallas/lwsw.py) to decide mergeability at TRACE time (the grid
+    arrays themselves are tracers under jit)."""
 
     # --- API parity with ty_gas_optics_ecckd ------------------------------
     # (gas_optics_ecckd.f90:477-553)

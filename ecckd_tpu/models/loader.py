@@ -203,4 +203,6 @@ def _build_model(f, dtype) -> CKDModel:
         tables_nonneg=bool(
             min([t.min() for t in dense_tables]
                 + [t.min() for t in lut_tables]) >= 0.0),
+        grid_key=(hash(arr(log_pressure).tobytes()),
+                  hash(arr(temperature_grid).tobytes())),
     )

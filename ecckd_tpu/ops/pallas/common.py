@@ -225,11 +225,20 @@ def pressure_temperature_index(log_p, t_lay, t_first_ref, log_p0, inv_dlogp,
     return i0p, wp1, i0t, wt1
 
 
-def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
-                  vmr_kinds, t_first_ref,
-                  dense_t_ref, lut_t_ref, log_p0, inv_dlogp, inv_dt,
-                  log_mf0, inv_dlogv, plan, mpp, lb=1, wp=16, wv=4):
-    """Total gas optical depth of one LAYER BLOCK for one column tile.
+def gas_tau_block_multi(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
+                        t_first_ref, specs, log_p0, inv_dlogp, inv_dt,
+                        mpp, lb=1, wp=16, wv=4):
+    """Total gas optical depth of one LAYER BLOCK for one column tile,
+    for one or SEVERAL ckd models sharing the same (pressure,
+    temperature) grid — the merged LW+SW kernel contracts both models'
+    tables against ONE shared one-hot (the interpolation indices depend
+    only on the atmosphere and the grid, not the model).
+
+    ``specs`` is a tuple of per-model
+    (plan, vmr_kinds, dense_t_ref, lut_t_ref, log_mf0, inv_dlogv)
+    tuples; ``vmr_kinds`` maps the plan's vmr slots into the SHARED
+    profile/scalar stacks (plan.split_vmrs_multi).  Returns
+    ([tau_blk (NG_m, LB*C) per spec], d_p (1, LB*C)).
 
     The fused equivalent of the reference per-gas loop
     (gas_optics_ecckd.f90:323-376): MXU contractions against the stacked
@@ -274,107 +283,149 @@ def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
     (well-mixed) rows live in ``vmrs_ref`` (n_sc, C) and are broadcast
     across the LB in-block layers by an in-VMEM lane tile — far cheaper
     than materializing per-layer copies through HBM host-side.
-
-    Returns (tau_blk (NG, LB*C), d_p (1, LB*C)).
     """
     import jax.experimental.pallas as pl  # local to keep module importable
 
-    ng = plan.ng_pad
     n_t8 = 8                               # t-axis pitch of the transposed table
-    n_p = plan.n_p
+    n_p = specs[0][0].n_p
+    n_t = specs[0][0].n_t
     log_p = logp_ref[pl.ds(b, 1), :]
     d_p = dp_ref[pl.ds(b, 1), :]
     t_lay = tlay_ref[pl.ds(b, 1), :]
     i0p, wp1, i0t, wt1 = pressure_temperature_index(
         log_p, t_lay, t_first_ref[...], log_p0, inv_dlogp, inv_dt,
-        n_p, plan.n_t)
-    sw = mpp * d_p
+        n_p, n_t)
+    simple_w = mpp * d_p
 
-    def vmr_row(slot):
-        """(1, LB*C) vmr row for a plan slot from the split stacks."""
+    def vmr_row(vmr_kinds, slot):
+        """(1, LB*C) vmr row for a plan slot from the shared stacks."""
         kind, idx = vmr_kinds[slot]
         if kind == "p":
             return vmrp_ref[idx, b, :][None, :]
         row = vmrs_ref[pl.ds(idx, 1), :]          # (1, C)
         return (jnp.concatenate([row] * lb, axis=1) if lb > 1 else row)
 
-    n_lut = plan.lut_sizes[0] if plan.lut_sizes else 0
-    has_lut = n_lut > 0 and lut_t_ref is not None
-    if has_lut:
-        vmr_h2o = vmr_row(plan.lut_vmr_slots[0])
-        lv = vmr_row(plan.lut_log_slots[0])
-        i0v, wv1 = frac_index((lv - log_mf0) * inv_dlogv, n_lut, clamp=1.001)
-        w_h2o = sw * vmr_h2o
-        wv = min(wv, n_lut)
+    # Per-spec LUT (h2o) fractional indices.  When several specs share the
+    # same vmr row and mole-fraction grid (the shipped LW/SW pairs), the
+    # identical index arithmetic below CSEs into one computation.
+    lut_state = []
+    wv_eff = wv
+    for plan, vmr_kinds, dense_t_ref, lut_t_ref, log_mf0, inv_dlogv in specs:
+        n_lut = plan.lut_sizes[0] if plan.lut_sizes else 0
+        has_lut = n_lut > 0 and lut_t_ref is not None
+        if not has_lut:
+            lut_state.append(None)
+            continue
+        vmr_h2o = vmr_row(vmr_kinds, plan.lut_vmr_slots[0])
+        lv = vmr_row(vmr_kinds, plan.lut_log_slots[0])
+        i0v, wv1 = frac_index((lv - log_mf0) * inv_dlogv, n_lut,
+                              clamp=1.001)
+        lut_state.append((n_lut, i0v, wv1, simple_w * vmr_h2o))
+        wv_eff = min(wv_eff, n_lut)
 
-        def lut_weight(v):
-            return w_h2o * (jnp.where(i0v == v, 1.0 - wv1, F32(0.0))
-                            + jnp.where(i0v + 1 == v, wv1, F32(0.0)))
+    def lut_weight(st, v):
+        n_lut, i0v, wv1, w_h2o = st
+        return w_h2o * (jnp.where(i0v == v, 1.0 - wv1, F32(0.0))
+                        + jnp.where(i0v + 1 == v, wv1, F32(0.0)))
 
-    def tau_from(oh, dense_tab, lut_slice):
-        """Accumulate all gases against a one-hot; ``lut_slice`` holds
-        (table slice, weight) pairs matching the one-hot's row window."""
+    def tau_from(spec, st, oh, dense_tab, lut_slice):
+        """Accumulate one spec's gases against the shared one-hot;
+        ``lut_slice`` holds (table slice, weight) pairs matching the
+        one-hot's row window."""
+        plan, vmr_kinds = spec[0], spec[1]
+        ng = plan.ng_pad
         tau = jnp.zeros((ng, oh.shape[1]), F32)
         if plan.slices:
             coeff = matmul_f32_t(dense_tab, oh)   # (n_dense*NG, LB*C)
         for s, sl in enumerate(plan.slices):
             if sl.vmr_slot >= 0:
-                vm = vmr_row(sl.vmr_slot)
-                w = sw * (F32(sl.a) * vm + F32(sl.b))
+                vm = vmr_row(vmr_kinds, sl.vmr_slot)
+                w = simple_w * (F32(sl.a) * vm + F32(sl.b))
             else:
-                w = sw * F32(sl.b)
+                w = simple_w * F32(sl.b)
             # Non-negative tables turn the per-g-point clamp
             # (gas_optics_ecckd.f90:234-238) into a weight clamp.
             w = jnp.maximum(w, F32(0.0))
             tau += w * coeff[s * ng:(s + 1) * ng, :]
-        if has_lut:
-            for dv, wght in lut_slice:
-                tau += wght * matmul_f32_t(dv, oh)
+        for dv, wght in lut_slice:
+            tau += wght * matmul_f32_t(dv, oh)
         return tau
 
     win_p = wp < n_p
-    win_v = has_lut and wv < n_lut
+    ok = None
     if win_p:
         base_p = jnp.clip(jnp.min(i0p), 0, n_p - wp)
         ok = jnp.max(i0p) - base_p <= wp - 2
-    if win_v:
-        base_v = jnp.clip(jnp.min(i0v), 0, n_lut - wv)
-        okv = jnp.max(i0v) - base_v <= wv - 2
-        ok = (ok & okv) if win_p else okv
-
-    has_dense = bool(plan.slices)
+    win_v = []
+    base_v = []
+    for st in lut_state:
+        wv_ok = st is not None and wv_eff < st[0]
+        win_v.append(wv_ok)
+        if wv_ok:
+            bv = jnp.clip(jnp.min(st[1]), 0, st[0] - wv_eff)
+            okv = jnp.max(st[1]) - bv <= wv_eff - 2
+            ok = okv if ok is None else (ok & okv)
+            base_v.append(bv)
+        else:
+            base_v.append(None)
+    any_win = win_p or any(win_v)
 
     def fast(_):
         if win_p:
             oh = pt_onehot(wp * n_t8, n_t8, i0p - base_p, wp1, i0t, wt1)
-            dense_tab = (dense_t_ref[pl.ds(base_p * n_t8, wp * n_t8), :]
-                         if has_dense else None)
             row0 = base_p * n_t8
             nrow = wp * n_t8
         else:
             oh = pt_onehot(n_p * n_t8, n_t8, i0p, wp1, i0t, wt1)
-            dense_tab = dense_t_ref[...] if has_dense else None
             row0 = 0
             nrow = n_p * n_t8
-        lut = []
-        if has_lut:
-            vb = base_v if win_v else 0
-            lut = [(lut_t_ref[vb + dv, pl.ds(row0, nrow), :]
-                    if (win_v or win_p) else lut_t_ref[dv],
-                    lut_weight(vb + dv)) for dv in range(wv)]
-        return tau_from(oh, dense_tab, lut)
+        taus = []
+        for m, spec in enumerate(specs):
+            plan, _, dense_t_ref, lut_t_ref = spec[:4]
+            dense_tab = None
+            if plan.slices:
+                dense_tab = (dense_t_ref[pl.ds(base_p * n_t8, wp * n_t8), :]
+                             if win_p else dense_t_ref[...])
+            lut = []
+            st = lut_state[m]
+            if st is not None:
+                vb = base_v[m] if win_v[m] else 0
+                nl = st[0] if not win_v[m] else wv_eff
+                lut = [(lut_t_ref[vb + dv, pl.ds(row0, nrow), :]
+                        if (win_v[m] or win_p) else lut_t_ref[dv],
+                        lut_weight(st, vb + dv)) for dv in range(nl)]
+            taus.append(tau_from(spec, st, oh, dense_tab, lut))
+        return tuple(taus)
 
     def full(_):
         oh = pt_onehot(n_p * n_t8, n_t8, i0p, wp1, i0t, wt1)
-        lut = ([(lut_t_ref[v], lut_weight(v)) for v in range(n_lut)]
-               if has_lut else [])
-        return tau_from(oh, dense_t_ref[...] if has_dense else None, lut)
+        taus = []
+        for m, spec in enumerate(specs):
+            plan, _, dense_t_ref, lut_t_ref = spec[:4]
+            dense_tab = dense_t_ref[...] if plan.slices else None
+            st = lut_state[m]
+            lut = ([(lut_t_ref[v], lut_weight(st, v)) for v in range(st[0])]
+                   if st is not None else [])
+            taus.append(tau_from(spec, st, oh, dense_tab, lut))
+        return tuple(taus)
 
-    if win_p or win_v:
-        tau_blk = jax.lax.cond(ok, fast, full, 0)
+    if any_win:
+        tau_blks = jax.lax.cond(ok, fast, full, 0)
     else:
-        tau_blk = fast(0)
-    return tau_blk, d_p
+        tau_blks = fast(0)
+    return list(tau_blks), d_p
+
+
+def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
+                  vmr_kinds, t_first_ref,
+                  dense_t_ref, lut_t_ref, log_p0, inv_dlogp, inv_dt,
+                  log_mf0, inv_dlogv, plan, mpp, lb=1, wp=16, wv=4):
+    """Single-model wrapper over gas_tau_block_multi (see there)."""
+    taus, d_p = gas_tau_block_multi(
+        b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref, t_first_ref,
+        ((plan, vmr_kinds, dense_t_ref, lut_t_ref, log_mf0, inv_dlogv),),
+        log_p0, inv_dlogp, inv_dt, mpp, lb=lb, wp=wp, wv=wv)
+    return taus[0], d_p
 
 
 def planck_eval(t_row, planck_hi_ref, planck_lo_ref, planck_row0_ref, t0,

@@ -1,0 +1,416 @@
+"""Merged longwave + shortwave mega-kernel.
+
+Climate workloads (and the RFMIP benchmark) always run BOTH bands over
+the same atmosphere.  The two solves share everything upstream of the
+tables: the layer-pressure/temperature interpolation indices, the
+bi-linear one-hot matrices, the blocked atmosphere inputs, and the
+column-tile grid pass.  This kernel computes both in one pass per
+128-column tile: one shared one-hot per layer block is contracted
+against BOTH models' stacked tables (common.gas_tau_block_multi), then
+the LW no-scattering sweep (ops/pallas/lw.py) and the SW two-stream
+adding solve (ops/pallas/sw.py) run on their respective taus.
+
+Requires the two ckd models to share the (pressure, temperature) grid —
+true for all shipped ecckd-1.2 files; the pipeline falls back to the
+separate kernels otherwise.  1 Gauss angle only (the drivers' default,
+physics index 1; 3-angle LW falls back to the separate kernels).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ecckd_tpu import constants
+from ecckd_tpu.gases import GasConcs
+from ecckd_tpu.models.ckd import CKDModel
+from ecckd_tpu.ops.pallas import common, plan as plan_mod
+from ecckd_tpu.ops.pallas.lw import (COL_TILE, LAYER_BLOCK, P_WINDOW,
+                                     V_WINDOW, _block_lanes, _pad_cols)
+from ecckd_tpu.solvers.quadrature import gauss_angles
+
+F32 = jnp.float32
+
+# params SMEM layout (extends lw.py's list with the SW LUT constants)
+(P_LOG_P0, P_INV_DLOGP, P_INV_DT, P_PLANCK_T0, P_INV_PLANCK_DT,
+ P_LW_LOG_MF0, P_LW_INV_DLOGV, P_SW_LOG_MF0, P_SW_INV_DLOGV,
+ P_NPARAMS) = range(10)
+
+
+def _lwsw_kernel(params_ref, t_first_ref,
+                 lw_table_ref, lw_lut_ref, planck_hi_ref, planck_lo_ref,
+                 planck_row0_ref,
+                 sw_table_ref, sw_lut_ref, ray_ref, solar_ref,
+                 logp_ref, dp_ref, tlay_ref, tlev_ref, tsfc_ref, emis_ref,
+                 mu0_ref, tsi_scale_ref, alb_ref, vmrp_ref, vmrs_ref,
+                 lwup_ref, lwdn_ref, swup_ref, swdn_ref,
+                 blk_a_s, blk_b_s, blk_c_s, plevb_s,
+                 rdif_s, tdif_s, srcup_s, srcdn_s, albedo_s, src_s,
+                 denom_s, *,
+                 lw_plan: plan_mod.GasOpticsPlan,
+                 sw_plan: plan_mod.GasOpticsPlan,
+                 lw_kinds, sw_kinds, nlay: int, n_planck: int,
+                 npl_pad: int, secant: float, weight: float, lb: int,
+                 n_blk: int, n_blk_lev: int, ctile: int, wp: int, wv: int):
+    log_p0 = params_ref[P_LOG_P0]
+    inv_dlogp = params_ref[P_INV_DLOGP]
+    inv_dt = params_ref[P_INV_DT]
+    mpp = F32(constants.MOLES_PER_PA)
+    inv_pi = F32(1.0 / constants.PI)
+    eps = F32(float(np.finfo(np.float32).eps))
+    tiny = F32(float(np.finfo(np.float32).tiny))
+    thresh = F32(float(np.sqrt(np.finfo(np.float32).eps)))
+
+    planck = functools.partial(
+        common.planck_eval, planck_hi_ref=planck_hi_ref,
+        planck_lo_ref=planck_lo_ref, planck_row0_ref=planck_row0_ref,
+        t0=params_ref[P_PLANCK_T0], inv_dt=params_ref[P_INV_PLANCK_DT],
+        n_planck=n_planck, npl_pad=npl_pad, inv_pi=inv_pi)
+
+    specs = (
+        (lw_plan, lw_kinds, lw_table_ref, lw_lut_ref,
+         params_ref[P_LW_LOG_MF0], params_ref[P_LW_INV_DLOGV]),
+        (sw_plan, sw_kinds, sw_table_ref, sw_lut_ref,
+         params_ref[P_SW_LOG_MF0], params_ref[P_SW_INV_DLOGV]),
+    )
+
+    mu0_tile = mu0_ref[...]                  # (1, C)
+    mu0_blk = (jnp.concatenate([mu0_tile] * lb, axis=1) if lb > 1
+               else mu0_tile)                # (1, lb*C)
+    inv_mu0_blk = 1.0 / mu0_blk
+
+    for ref in (lwup_ref, lwdn_ref, swup_ref, swdn_ref):
+        ref[...] = jnp.zeros_like(ref)
+    dir_top = mu0_tile * tsi_scale_ref[...] * solar_ref[...]   # (NGs, C)
+    swdn_ref[pl.ds(0, 1), :] = jnp.sum(dir_top, axis=0, keepdims=True)
+
+    # --- LW level Planck, one eval per level block (see lw.py) ----------
+    def level_blk_eval(b, carry):
+        plevb_s[b] = planck(tlev_ref[pl.ds(b, 1), :])
+        return carry
+
+    common.fori32(0, n_blk_lev, level_blk_eval, 0, unroll=False)
+
+    # --- Phase A: ONE shared one-hot per block -> both models' taus,
+    # then each band's per-layer VPU math, all blocked. ------------------
+    def optics_block(b, carry):
+        (tau_lw, tau_sw), d_p = common.gas_tau_block_multi(
+            b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
+            t_first_ref, specs, log_p0, inv_dlogp, inv_dt, mpp,
+            lb=lb, wp=wp, wv=wv)
+
+        # LW: transmittance + linear-in-tau sources (lw.py 1-angle path).
+        play_blk = planck(tlay_ref[pl.ds(b, 1), :])
+        lev_dec = plevb_s[b]
+        b_next = jnp.minimum(b + 1, n_blk_lev - 1)
+        lev_inc = jnp.concatenate(
+            [lev_dec[:, ctile:], plevb_s[b_next][:, :ctile]], axis=1)
+        ts = tau_lw * F32(secant)
+        omt = -common.expm1_accurate(-ts)
+        tr = 1.0 - omt
+        fact = jnp.where(ts > thresh,
+                         omt / jnp.maximum(ts, thresh) - tr,
+                         ts * (0.5 - ts * (1.0 / 3.0)))
+        blk_a_s[b] = tr
+        blk_b_s[b] = omt * lev_inc + 2.0 * fact * (play_blk - lev_inc)
+        blk_c_s[b] = omt * lev_dec + 2.0 * fact * (play_blk - lev_dec)
+
+        # SW: two-stream R/T with g = 0 (sw.py, incl. the fused
+        # reciprocal and cancellation-free complement forms).
+        mu0 = mu0_blk
+        tau_ray = (mpp * d_p) * ray_ref[...]
+        tau = tau_sw + tau_ray
+        ssa = tau_ray / jnp.maximum(tau, tiny)
+        gamma1 = (8.0 - ssa * 5.0) * 0.25
+        gamma2 = 3.0 * ssa * 0.25
+        k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2),
+                                 F32(1e-12)))
+        em1 = -common.expm1_accurate(-k * tau)
+        m1 = em1 * (2.0 - em1)
+        exp_mktau = 1.0 - em1
+        exp_m2ktau = 1.0 - m1
+        tm1 = -common.expm1_accurate(-tau * inv_mu0_blk)
+        t_noscat = 1.0 - tm1
+        k_mu = k * mu0
+        alpha = (gamma1 + gamma2) * 0.5
+        k_half = k * 0.5
+        denom = 1.0 - k_mu * k_mu
+        denom = jnp.where(jnp.abs(denom) >= eps, denom, eps)
+        a_term = k * (1.0 + exp_m2ktau) + gamma1 * m1
+        r_all = 1.0 / (a_term * denom)
+        rt_term = denom * r_all
+        rt2 = ssa * r_all
+        r_dif = rt_term * gamma2 * m1
+        t_dif = rt_term * 2.0 * k * exp_mktau
+        q = em1 * em1 + 2.0 * exp_mktau * tm1
+        s = em1 * em1 - tm1 * (1.0 + exp_m2ktau)
+        r_dir = rt2 * (alpha * (m1 - k_mu * q) + k_half * (q - k_mu * m1))
+        t_dir = -rt2 * (alpha * (t_noscat * m1 + k_mu * s)
+                        + k_half * (s + k_mu * t_noscat * m1))
+        r_dir = jnp.clip(r_dir, F32(0.0), 1.0 - t_noscat)
+        t_dir = jnp.clip(t_dir, F32(0.0), 1.0 - t_noscat - r_dir)
+        rdif_s[b] = r_dif
+        tdif_s[b] = t_dif
+        srcup_s[b] = r_dir
+        srcdn_s[b] = t_dir
+        denom_s[b] = t_noscat
+        return carry
+
+    common.fori32(0, n_blk, optics_block, 0, unroll=False)
+
+    def chunk(ref, j):
+        """Static (NG, C) view of layer/level j from blocked scratch."""
+        bb, l = divmod(j, lb)
+        return ref[bb][:, l * ctile:(l + 1) * ctile]
+
+    def chunk_set(ref, j, val):
+        bb, l = divmod(j, lb)
+        ref[bb, :, l * ctile:(l + 1) * ctile] = val
+
+    # --- LW sweeps (lw.py 1-angle affine recurrences) -------------------
+    sfc_src = planck(tsfc_ref[...])
+    emis = emis_ref[...]
+    w2pi = F32(2.0 * constants.PI * weight)
+    rad = jnp.zeros_like(sfc_src)
+    for j in range(nlay):
+        rad = chunk(blk_a_s, j) * rad + chunk(blk_b_s, j)
+        lwdn_ref[pl.ds(j + 1, 1), :] += w2pi * jnp.sum(
+            rad, axis=0, keepdims=True)
+    rad = emis * sfc_src + (1.0 - emis) * rad
+    lwup_ref[pl.ds(nlay, 1), :] += w2pi * jnp.sum(rad, axis=0,
+                                                  keepdims=True)
+    for j in reversed(range(nlay)):
+        rad = chunk(blk_a_s, j) * rad + chunk(blk_c_s, j)
+        lwup_ref[pl.ds(j, 1), :] += w2pi * jnp.sum(rad, axis=0,
+                                                   keepdims=True)
+
+    # --- SW sweeps (sw.py phases A1/B/C) ---------------------------------
+    direct = dir_top
+    for j in range(nlay):
+        chunk_set(srcup_s, j, chunk(srcup_s, j) * direct)
+        chunk_set(srcdn_s, j, chunk(srcdn_s, j) * direct)
+        direct = chunk(denom_s, j) * direct
+        swdn_ref[pl.ds(j + 1, 1), :] = jnp.sum(direct, axis=0,
+                                               keepdims=True)
+    dir_sfc = direct
+
+    albedo_s[nlay] = alb_ref[...]
+    src_s[nlay] = alb_ref[...] * dir_sfc
+    albedo, src = albedo_s[nlay], src_s[nlay]
+    for j in reversed(range(nlay)):
+        r_dif = chunk(rdif_s, j)
+        t_dif = chunk(tdif_s, j)
+        denom = 1.0 / (1.0 - r_dif * albedo)
+        chunk_set(denom_s, j, denom)
+        albedo_new = r_dif + t_dif * t_dif * albedo * denom
+        src = chunk(srcup_s, j) + t_dif * denom * (src + albedo
+                                                   * chunk(srcdn_s, j))
+        albedo = albedo_new
+        albedo_s[j] = albedo
+        src_s[j] = src
+
+    swup_ref[pl.ds(0, 1), :] = jnp.sum(src_s[0], axis=0, keepdims=True)
+    dn = jnp.zeros_like(dir_top)
+    for j in range(nlay):
+        dn = (chunk(tdif_s, j) * dn + chunk(rdif_s, j) * src_s[j + 1]
+              + chunk(srcdn_s, j)) * chunk(denom_s, j)
+        up = dn * albedo_s[j + 1] + src_s[j + 1]
+        swdn_ref[pl.ds(j + 1, 1), :] += jnp.sum(dn, axis=0, keepdims=True)
+        swup_ref[pl.ds(j + 1, 1), :] = jnp.sum(up, axis=0, keepdims=True)
+
+
+def models_mergeable(model_lw: CKDModel, model_sw: CKDModel) -> bool:
+    """The merged kernel shares one (p, T) interpolation grid; true for
+    all shipped ecckd-1.2 files (identical pressure/temperature arrays).
+    Compares the static load-time grid fingerprints, so the decision is
+    trace-time static (the grid arrays are tracers under jit)."""
+    return (bool(model_lw.grid_key) and bool(model_sw.grid_key)
+            and model_lw.grid_key == model_sw.grid_key
+            and model_lw.log_pressure.shape == model_sw.log_pressure.shape
+            and model_lw.temperature_grid.shape
+            == model_sw.temperature_grid.shape)
+
+
+def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
+                      plev: jax.Array, tlay: jax.Array, tlev: jax.Array,
+                      tsfc: jax.Array, emis_gpt: jax.Array,
+                      gas_concs: GasConcs, sfc_alb: jax.Array,
+                      tsi: jax.Array, sza_deg: jax.Array,
+                      interpret: bool = False
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array,
+                                 jax.Array]:
+    """Both bands' broadband fluxes in one fused kernel pass
+    (top_at_1, 1 Gauss angle).  Args mirror pipeline.lw_fluxes +
+    pipeline.sw_fluxes.  Returns (lw_up, lw_dn, sw_up, sw_dn), each
+    (ncol, nlay+1); SW night columns are masked like sw_fluxes."""
+    ncol, nlay = tlay.shape
+    p_lw = plan_mod.build_plan(model_lw, gas_concs.names)
+    p_sw = plan_mod.build_plan(model_sw, gas_concs.names)
+    if not (p_lw.fused_ok and p_sw.fused_ok):
+        raise ValueError("fused path invalid for one of the models; use "
+                         "the XLA path")
+    if not models_mergeable(model_lw, model_sw):
+        raise ValueError("models do not share a (p, T) grid; use the "
+                         "separate kernels")
+    ng_lw, ng_sw = p_lw.ng_pad, p_sw.ng_pad
+    n_planck = int(model_lw.planck_function.shape[0])
+    npl_pad = ((n_planck + 7) // 8) * 8
+    n_p_pad = ((p_lw.n_p + 7) // 8) * 8
+
+    def tables(model, p):
+        t = plan_mod.dense_table_t(model, p, gas_concs.names, F32)
+        if t.shape[1] == 0:
+            t = jnp.zeros((t.shape[0], p.ng_pad), F32)
+        lut = plan_mod.lut_table_t(model, p, gas_concs.names, F32)
+        if lut is None:
+            lut = jnp.zeros((1, 8, p.ng_pad), F32)
+        return t, lut
+
+    lw_table, lw_lut = tables(model_lw, p_lw)
+    sw_table, sw_lut = tables(model_sw, p_sw)
+    vmr_prof, vmr_scal, kinds_all = plan_mod.split_vmrs_multi(
+        (p_lw, p_sw), gas_concs, ncol, nlay, F32)
+    lw_kinds, sw_kinds = kinds_all
+    if vmr_prof is None:
+        vmr_prof = jnp.zeros((1, nlay, ncol), F32)
+    if vmr_scal is None:
+        vmr_scal = jnp.zeros((1, ncol), F32)
+
+    lp = model_lw.log_pressure.astype(F32)
+    tg = model_lw.temperature_grid.astype(F32)
+    pt = model_lw.planck_temperature.astype(F32)
+    params = jnp.stack([
+        lp[0], 1.0 / (lp[1] - lp[0]), 1.0 / (tg[0, 1] - tg[0, 0]),
+        pt[0], 1.0 / (pt[1] - pt[0]),
+        jnp.asarray(p_lw.lut_log_mf0[0] if p_lw.lut_log_mf0 else 0.0, F32),
+        jnp.asarray(p_lw.lut_inv_dlog[0] if p_lw.lut_inv_dlog else 0.0,
+                    F32),
+        jnp.asarray(p_sw.lut_log_mf0[0] if p_sw.lut_log_mf0 else 0.0, F32),
+        jnp.asarray(p_sw.lut_inv_dlog[0] if p_sw.lut_inv_dlog else 0.0,
+                    F32)])
+
+    t_first = jnp.zeros((n_p_pad, 1), F32).at[:p_lw.n_p, 0].set(tg[:, 0])
+    pf = model_lw.planck_function.astype(F32)
+    planck_hi, planck_lo = common.split_bf16(
+        jnp.zeros((ng_lw, npl_pad), F32
+                  ).at[:model_lw.ngpt, :n_planck].set(pf.T))
+    planck_row0 = jnp.zeros((ng_lw, 1), F32
+                            ).at[:model_lw.ngpt, 0].set(pf[0])
+    solar = model_sw.solar_irradiance.astype(F32)
+    ray = jnp.zeros((ng_sw, 1), F32).at[:model_sw.ngpt, 0].set(
+        model_sw.rayleigh_coeff.astype(F32))
+    solar_col = jnp.zeros((ng_sw, 1), F32).at[:model_sw.ngpt, 0].set(solar)
+
+    dtype = F32
+    tsi_scale = (tsi.astype(dtype) / jnp.sum(solar))[None, :]
+    spacing90 = float(np.spacing(np.float32(90.0)))
+    usecol = sza_deg.astype(dtype) < (90.0 - 2.0 * spacing90)
+    deg_to_rad = jnp.asarray(np.arccos(-1.0) / 180.0, dtype)
+    mu0 = jnp.where(usecol, jnp.cos(sza_deg.astype(dtype) * deg_to_rad),
+                    1.0)
+    alb2d = (sfc_alb.astype(F32).T if sfc_alb.ndim == 2 else
+             jnp.broadcast_to(sfc_alb.astype(F32)[None, :],
+                              (model_sw.ngpt, ncol)))
+    alb_gpt = jnp.zeros((ng_sw, ncol), F32).at[:model_sw.ngpt].set(alb2d)
+
+    ct = COL_TILE
+    ncol_pad = ((ncol + ct - 1) // ct) * ct
+    lb = LAYER_BLOCK
+    n_blk = -(-nlay // lb)
+    n_blk_lev = -(-(nlay + 1) // lb)
+    blk = lambda x, pv=None: _block_lanes(x, lb, ct, pv)
+    logp_t = blk(_pad_cols(
+        jnp.log(0.5 * (plev[:, 1:] + plev[:, :-1])).astype(F32).T,
+        ncol_pad))
+    dp_t = blk(_pad_cols((plev[:, 1:] - plev[:, :-1]).astype(F32).T,
+                         ncol_pad), 0.0)
+    tlay_t = blk(_pad_cols(tlay.astype(F32).T, ncol_pad))
+    tlev_t = blk(_pad_cols(tlev.astype(F32).T, ncol_pad))
+    tsfc_t = _pad_cols(tsfc.astype(F32)[None, :], ncol_pad)
+    emis_t = _pad_cols(
+        jnp.zeros((ng_lw, ncol), F32).at[:model_lw.ngpt].set(
+            emis_gpt.astype(F32).T), ncol_pad)
+    mu0_t = _pad_cols(mu0[None, :].astype(F32), ncol_pad)
+    tsi_t = _pad_cols(tsi_scale.astype(F32), ncol_pad)
+    alb_t = _pad_cols(alb_gpt, ncol_pad)
+    vmrp_t = blk(_pad_cols(vmr_prof, ncol_pad))
+    vmrs_t = _pad_cols(vmr_scal, ncol_pad)
+
+    secants, weights = gauss_angles(1)
+    kernel = functools.partial(
+        _lwsw_kernel, lw_plan=p_lw, sw_plan=p_sw, lw_kinds=lw_kinds,
+        sw_kinds=sw_kinds, nlay=nlay, n_planck=n_planck, npl_pad=npl_pad,
+        secant=float(secants[0]), weight=float(weights[0]), lb=lb,
+        n_blk=n_blk, n_blk_lev=n_blk_lev, ctile=ct, wp=P_WINDOW,
+        wv=V_WINDOW)
+
+    nlev = nlay + 1
+    n_vp, n_vs = vmrp_t.shape[0], vmrs_t.shape[0]
+    rep2 = lambda i: (0, 0)
+    col2 = lambda i: (0, i)
+    rep3c = lambda i: (0, 0, i)
+    blkspec = lambda rows: pl.BlockSpec((rows, lb * ct), col2,
+                                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(ncol_pad // ct,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_p_pad, 1), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(lw_table.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(lw_lut.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng_lw, npl_pad), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng_lw, npl_pad), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng_lw, 1), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(sw_table.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(sw_lut.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng_sw, 1), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng_sw, 1), rep2, memory_space=pltpu.VMEM),
+            blkspec(n_blk),                          # logp
+            blkspec(n_blk),                          # dp
+            blkspec(n_blk),                          # tlay
+            blkspec(n_blk_lev),                      # tlev
+            pl.BlockSpec((1, ct), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng_lw, ct), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ct), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng_sw, ct), col2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_vp, n_blk, lb * ct), rep3c,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_vs, ct), col2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((nlev, ct), col2,
+                                memory_space=pltpu.VMEM)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((nlev, ncol_pad), F32)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((n_blk, ng_lw, lb * ct), F32),     # lw trans
+            pltpu.VMEM((n_blk, ng_lw, lb * ct), F32),     # lw src dn
+            pltpu.VMEM((n_blk, ng_lw, lb * ct), F32),     # lw src up
+            pltpu.VMEM((n_blk_lev, ng_lw, lb * ct), F32),  # planck lev
+            pltpu.VMEM((n_blk, ng_sw, lb * ct), F32),     # r_dif
+            pltpu.VMEM((n_blk, ng_sw, lb * ct), F32),     # t_dif
+            pltpu.VMEM((n_blk, ng_sw, lb * ct), F32),     # sw src up
+            pltpu.VMEM((n_blk, ng_sw, lb * ct), F32),     # sw src dn
+            pltpu.VMEM((nlev, ng_sw, ct), F32),           # albedo/level
+            pltpu.VMEM((nlev, ng_sw, ct), F32),           # src/level
+            pltpu.VMEM((n_blk, ng_sw, lb * ct), F32),     # t_noscat/denom
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(params, t_first, lw_table, lw_lut, planck_hi, planck_lo,
+      planck_row0, sw_table, sw_lut, ray, solar_col, logp_t, dp_t,
+      tlay_t, tlev_t, tsfc_t, emis_t, mu0_t, tsi_t, alb_t, vmrp_t,
+      vmrs_t)
+    lw_up, lw_dn, sw_up, sw_dn = out
+    mask = usecol.astype(F32)[:, None]
+    return (lw_up[:, :ncol].T, lw_dn[:, :ncol].T,
+            sw_up[:, :ncol].T * mask, sw_dn[:, :ncol].T * mask)

@@ -181,44 +181,68 @@ def lut_table_t(model: CKDModel, plan: GasOpticsPlan,
     return None
 
 
+def split_vmrs_multi(plans, gas_concs: GasConcs, ncol: int, nlay: int,
+                     dtype
+                     ) -> Tuple[Optional[jax.Array], Optional[jax.Array],
+                                Tuple[Tuple[Tuple[str, int], ...], ...]]:
+    """Trace-time profile/scalar split of the stacked vmr rows, SHARED by
+    one or several plans (the merged LW+SW kernel).
+
+    Returns (profiles (n_pr, nlay, ncol) | None, scalars (n_sc, ncol) |
+    None, kinds_per_plan), where ``kinds_per_plan[m][slot] = ("p"|"s",
+    index)`` maps plan m's vmr slot into one of the two shared stacks;
+    LUT gases get an appended ln(max(vmr, mf0)) row (plan.lut_log_slots)
+    so the kernel never calls Mosaic's approximate log.  Rows requested
+    by several plans (h2o, o3, ...) are stored once.  Gases stored
+    without a layer axis (the RFMIP well-mixed species) stay as (ncol,)
+    rows — the kernel broadcasts them across the lane-blocked layer axis
+    for free instead of the host materializing and relayouting a
+    (nlay, ncol) profile per gas."""
+    prof: List[jax.Array] = []
+    scal: List[jax.Array] = []
+    index: dict = {}
+
+    def add(key, row: jax.Array) -> Tuple[str, int]:
+        if key in index:
+            return index[key]
+        if row.ndim == 2:
+            k = ("p", len(prof))
+            prof.append(row)
+        else:
+            k = ("s", len(scal))
+            scal.append(row)
+        index[key] = k
+        return k
+
+    kinds_all: List[Tuple[Tuple[str, int], ...]] = []
+    for plan in plans:
+        kinds: List[Tuple[str, int]] = []
+        for n in plan.vmr_names:
+            v = jnp.asarray(gas_concs.values[gas_concs.names.index(n)])
+            if v.ndim == 2:                   # (ncol, nlay) profile
+                kinds.append(add(n, v.astype(dtype).T))
+            else:                             # () or (ncol,) well-mixed
+                kinds.append(add(n, jnp.broadcast_to(
+                    jnp.atleast_1d(v).astype(dtype), (ncol,))))
+        for i, slot in enumerate(plan.lut_vmr_slots):
+            log_mf0 = plan.lut_log_mf0[i]
+            mf0 = float(np.exp(log_mf0))
+            kind, idx = kinds[slot]
+            row = prof[idx] if kind == "p" else scal[idx]
+            kinds.append(add(("log", plan.vmr_names[slot], log_mf0),
+                             jnp.log(jnp.maximum(row, mf0))))
+        kinds_all.append(tuple(kinds))
+    return (jnp.stack(prof) if prof else None,
+            jnp.stack(scal) if scal else None, tuple(kinds_all))
+
+
 def split_vmrs(plan: GasOpticsPlan, gas_concs: GasConcs, ncol: int,
                nlay: int, dtype
                ) -> Tuple[Optional[jax.Array], Optional[jax.Array],
                           Tuple[Tuple[str, int], ...]]:
-    """Trace-time profile/scalar split of the stacked vmr rows.
-
-    Returns (profiles (n_pr, nlay, ncol) | None, scalars (n_sc, ncol) |
-    None, kinds), where ``kinds[slot] = ("p"|"s", index)`` maps each plan
-    vmr slot into one of the two stacks; LUT gases get an appended
-    ln(max(vmr, mf0)) row (plan.lut_log_slots) so the kernel never calls
-    Mosaic's approximate log.  Gases stored without a layer axis (the RFMIP
-    well-mixed species) stay as (ncol,) rows — the kernel broadcasts them
-    across the lane-blocked layer axis for free instead of the host
-    materializing and relayouting a (nlay, ncol) profile per gas."""
+    """Single-plan wrapper over split_vmrs_multi (see there)."""
     if not plan.vmr_names:
         return None, None, ()
-    prof: List[jax.Array] = []
-    scal: List[jax.Array] = []
-    kinds: List[Tuple[str, int]] = []
-
-    def add(row: jax.Array) -> None:
-        if row.ndim == 2:
-            kinds.append(("p", len(prof)))
-            prof.append(row)
-        else:
-            kinds.append(("s", len(scal)))
-            scal.append(row)
-
-    for n in plan.vmr_names:
-        v = jnp.asarray(gas_concs.values[gas_concs.names.index(n)])
-        if v.ndim == 2:                       # (ncol, nlay) profile
-            add(v.astype(dtype).T)
-        else:                                 # () or (ncol,) well-mixed
-            add(jnp.broadcast_to(jnp.atleast_1d(v).astype(dtype), (ncol,)))
-    for i, slot in enumerate(plan.lut_vmr_slots):
-        mf0 = float(np.exp(plan.lut_log_mf0[i]))
-        kind, idx = kinds[slot]
-        row = prof[idx] if kind == "p" else scal[idx]
-        add(jnp.log(jnp.maximum(row, mf0)))
-    return (jnp.stack(prof) if prof else None,
-            jnp.stack(scal) if scal else None, tuple(kinds))
+    prof, scal, kinds_all = split_vmrs_multi((plan,), gas_concs, ncol,
+                                             nlay, dtype)
+    return prof, scal, kinds_all[0]

@@ -193,6 +193,48 @@ def sw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     return FluxesBroadband(flux_up=flux_up * mask, flux_dn=flux_dn * mask)
 
 
+def lw_sw_fluxes(model_lw: CKDModel, model_sw: CKDModel, plev: jax.Array,
+                 tlay: jax.Array, tlev: jax.Array, tsfc: jax.Array,
+                 sfc_emis: jax.Array, gas_concs: GasConcs,
+                 sfc_alb: jax.Array, tsi: jax.Array, sza_deg: jax.Array,
+                 n_gauss_angles: int = 1, top_at_1: bool = True,
+                 column_chunk: int | None = None, backend: str = "auto"
+                 ) -> Tuple[FluxesBroadband, FluxesBroadband]:
+    """Both bands' broadband fluxes over ONE atmosphere (the climate-model
+    and RFMIP-benchmark shape of the workload).
+
+    On TPU at f32 with 1 Gauss angle and models sharing a (p, T) grid
+    (all shipped ecckd-1.2 file pairs), this runs the MERGED mega-kernel
+    (ops/pallas/lwsw.py): one interpolation-index/one-hot computation and
+    one grid pass serve both bands.  Everything else falls back to
+    lw_fluxes + sw_fluxes.  Returns (lw_fluxes, sw_fluxes)."""
+    dtype = jnp.asarray(tlay).dtype
+    ncol = tlay.shape[0]
+    if (n_gauss_angles == 1
+            and _use_fused(model_lw, dtype, "auto" if backend == "auto"
+                           else backend, top_at_1)
+            and _use_fused(model_sw, dtype, "auto", top_at_1)):
+        from ecckd_tpu.ops.pallas.lwsw import (lwsw_fluxes_fused,
+                                               models_mergeable)
+        if models_mergeable(model_lw, model_sw):
+            emis_gpt = _surface_to_gpt(model_lw, sfc_emis, ncol, dtype)
+            alb = jnp.asarray(sfc_alb, dtype)
+            if alb.ndim == 2:
+                alb = _surface_to_gpt(model_sw, alb, ncol, dtype)
+            lu, ld, su, sd = lwsw_fluxes_fused(
+                model_lw, model_sw, plev, tlay, tlev, tsfc, emis_gpt,
+                gas_concs, alb, tsi, sza_deg)
+            return (FluxesBroadband(flux_up=lu, flux_dn=ld),
+                    FluxesBroadband(flux_up=su, flux_dn=sd))
+    return (lw_fluxes(model_lw, plev, tlay, tlev, tsfc, sfc_emis,
+                      gas_concs, n_gauss_angles=n_gauss_angles,
+                      top_at_1=top_at_1, column_chunk=column_chunk,
+                      backend=backend),
+            sw_fluxes(model_sw, plev, tlay, gas_concs, sfc_alb, tsi,
+                      sza_deg, top_at_1=top_at_1,
+                      column_chunk=column_chunk, backend=backend))
+
+
 def clamp_top_pressure(plev: np.ndarray, press_min: float,
                        top_at_1: bool = True) -> np.ndarray:
     """Driver-side input sanitizing: the model cannot run below its minimum
