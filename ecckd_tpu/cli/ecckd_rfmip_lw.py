@@ -78,6 +78,7 @@ def main(argv=None) -> int:
                              extra={"driver": "lw",
                                     "n_quad_angles": n_quad_angles})
     suffix = f"r1i1p{args.physics_index}f{args.forcing_index}_gn.nc"
+    os.makedirs(args.output_dir, exist_ok=True)
     up_path = os.path.join(args.output_dir,
                            f"rlu_Efx_RTE-ecckd_rad-irf_{suffix}")
     dn_path = os.path.join(args.output_dir,

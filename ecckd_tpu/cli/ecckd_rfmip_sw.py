@@ -71,6 +71,7 @@ def main(argv=None) -> int:
                              seconds=t.seconds, args=args, fluxes=fluxes,
                              extra={"driver": "sw"})
     suffix = f"r1i1p1f{args.forcing_index}_gn.nc"
+    os.makedirs(args.output_dir, exist_ok=True)
     up_path = os.path.join(args.output_dir,
                            f"rsu_Efx_RTE-ecckd_rad-irf_{suffix}")
     dn_path = os.path.join(args.output_dir,

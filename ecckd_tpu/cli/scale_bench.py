@@ -56,7 +56,7 @@ def main(argv=None) -> int:
     from ecckd_tpu.models.loader import load_ckd_model
     from ecckd_tpu.parallel import mesh as pmesh
     from ecckd_tpu.parallel.scale import place_pytree, run_weak_scaling
-    from ecckd_tpu.pipeline import lw_fluxes, sw_fluxes
+    from ecckd_tpu.pipeline import lw_sw_fluxes
     from ecckd_tpu.io.synthetic import example_flux_batch as _example_batch
 
     dtype = np.float32
@@ -69,9 +69,10 @@ def main(argv=None) -> int:
 
     @jax.jit
     def step(lw_m, sw_m, plev, tlay, tlev, tsfc, emis, alb, tsi, sza, concs):
-        flw = lw_fluxes(lw_m, plev, tlay, tlev, tsfc, emis, concs,
-                        n_gauss_angles=1)
-        fsw = sw_fluxes(sw_m, plev, tlay, concs, alb, tsi, sza)
+        # Merged LW+SW mega-kernel on TPU (one shared interpolation pass,
+        # ops/pallas/lwsw.py); separate pipelines elsewhere.
+        flw, fsw = lw_sw_fluxes(lw_m, sw_m, plev, tlay, tlev, tsfc, emis,
+                                concs, alb, tsi, sza, n_gauss_angles=1)
         return (flw.flux_up, flw.flux_dn, fsw.flux_up, fsw.flux_dn)
 
     # Weak-scaling input: one RFMIP-shaped base chunk, device-placed ONCE;

@@ -101,6 +101,29 @@ def test_sw_driver_end_to_end(rfmip_file, tmp_path):
     assert (up[~night, 0] < dn[~night, 0]).all()
 
 
+def test_combined_driver_matches_separate(rfmip_file, tmp_path):
+    """The combined lw+sw driver's four flux files must equal the two
+    separate drivers' outputs on the same inputs."""
+    from ecckd_tpu.cli import ecckd_rfmip
+    sep = tmp_path / "sep"
+    both = tmp_path / "both"
+    assert ecckd_rfmip_lw.main([rfmip_file, LW_FSCK, "--output-dir",
+                                str(sep), "--precision", "f64"]) == 0
+    assert ecckd_rfmip_sw.main([rfmip_file, SW_WIDE, "--output-dir",
+                                str(sep), "--precision", "f64"]) == 0
+    assert ecckd_rfmip.main([rfmip_file, LW_FSCK, SW_WIDE, "--output-dir",
+                             str(both), "--precision", "f64",
+                             "--heating-rates"]) == 0
+    for name, var in (("rlu", "rlu"), ("rld", "rld"), ("rsu", "rsu"),
+                      ("rsd", "rsd")):
+        fn = f"{name}_Efx_RTE-ecckd_rad-irf_r1i1p1f1_gn.nc"
+        a = read_fluxes(str(sep / fn), var)
+        b = read_fluxes(str(both / fn), var)
+        np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12)
+    assert (both / "hrl_Efx_RTE-ecckd_rad-irf_r1i1p1f1_gn.nc").exists()
+    assert (both / "hrs_Efx_RTE-ecckd_rad-irf_r1i1p1f1_gn.nc").exists()
+
+
 def test_forcing_index_2_uses_cfc11eq(rfmip_file, tmp_path):
     rc = ecckd_rfmip_lw.main([rfmip_file, LW_FSCK, "-f", "2",
                               "--output-dir", str(tmp_path),
