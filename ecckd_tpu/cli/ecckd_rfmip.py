@@ -93,11 +93,16 @@ def main(argv=None) -> int:
                              seconds=t.seconds, args=args, fluxes=flw,
                              extra={"driver": "lwsw",
                                     "n_quad_angles": n_quad_angles})
-    suffix = f"r1i1p{args.physics_index}f{args.forcing_index}_gn.nc"
+    # LW filenames carry the physics index; SW files are always p1
+    # (ecckd_rfmip_lw.F90:59-62 vs ecckd_rfmip_sw.F90:56-57).
+    lw_sfx = f"r1i1p{args.physics_index}f{args.forcing_index}_gn.nc"
+    sw_sfx = f"r1i1p1f{args.forcing_index}_gn.nc"
+    sfx = {"rlu": lw_sfx, "rld": lw_sfx, "rsu": sw_sfx, "rsd": sw_sfx,
+           "hrl": lw_sfx, "hrs": sw_sfx}
     os.makedirs(args.output_dir, exist_ok=True)
     for name in ("rlu", "rld", "rsu", "rsd"):
         path = os.path.join(args.output_dir,
-                            f"{name}_Efx_RTE-ecckd_rad-irf_{suffix}")
+                            f"{name}_Efx_RTE-ecckd_rad-irf_{sfx[name]}")
         write_fluxes(path, name, out[name], data.nsite, data.nexp)
         print(f" Wrote {path}", file=sys.stderr)
     if args.heating_rates:
@@ -107,7 +112,7 @@ def main(argv=None) -> int:
                             ("hrs", out["rsu"], out["rsd"])):
             hr = np.asarray(heating_rate(up, dn, plev[:data.ncol]))
             path = os.path.join(args.output_dir,
-                                f"{tag}_Efx_RTE-ecckd_rad-irf_{suffix}")
+                                f"{tag}_Efx_RTE-ecckd_rad-irf_{sfx[tag]}")
             write_heating_rates(path, tag, hr, data.nsite, data.nexp)
             print(f" Wrote {path}", file=sys.stderr)
     return 0
