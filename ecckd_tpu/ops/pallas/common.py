@@ -130,8 +130,16 @@ def matmul_f32(a: jax.Array, b: jax.Array) -> jax.Array:
     Default is a manual 3-pass bf16 split (a_hi@b_hi + a_lo@b_hi + a_hi@b_lo,
     each a single-pass bf16 MXU op): ~1e-7 relative — the same accuracy class
     as Mosaic's HIGHEST (6-pass) at half the MXU time.  Modes via
-    ECCKD_MXU_PRECISION: bf16x3 | highest | default (1-pass bf16, ~6e-4 —
-    fast but below the framework's accuracy contract; for experiments only).
+    ECCKD_MXU_PRECISION:
+      bf16x3   (default) ~f32-exact, the accuracy-faithful path;
+      bf16     1-pass FAST mode: ~6e-4 relative in the interpolated
+               coefficient, ~1e-4 in broadband flux — well inside the
+               ecCKD models' own stated tolerance (0.05 K/day heating
+               rate) and ~1.3x faster end-to-end (the contraction is
+               MXU MAC-throughput-bound; each dropped pass measured
+               ~3.5 ms/65k-col solve);
+      highest  Mosaic's 6-pass f32 (validation experiments);
+      default  legacy alias of bf16.
     """
     dn = (((1,), (0,)), ((), ()))
     if _MXU_MODE == "highest":
@@ -174,6 +182,35 @@ def matmul_presplit(a_hi: jax.Array, a_lo: jax.Array, b: jax.Array
     dn = (((1,), (0,)), ((), ()))
     b_hi = b.astype(jnp.bfloat16)
     b_lo = (b - b_hi.astype(F32)).astype(jnp.bfloat16)
+    dot = lambda x, y: jax.lax.dot_general(
+        x, y, dimension_numbers=dn, precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=F32)
+    return dot(a_hi, b_hi) + (dot(a_lo, b_hi) + dot(a_hi, b_lo))
+
+
+def split_for_mxu(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Operand split for matmul_t_presplit: bf16 hi/lo in the default
+    bf16x3 mode; (a, 0) f32 passthrough in the experiment modes so their
+    precision semantics are unchanged."""
+    if _MXU_MODE == "bf16x3":
+        return split_bf16(a)
+    return a, jnp.zeros_like(a)
+
+
+def matmul_t_presplit(a_hi: jax.Array, a_lo: jax.Array, b_hi: jax.Array,
+                      b_lo: jax.Array) -> jax.Array:
+    """matmul_f32_t with BOTH bf16 splits precomputed ((R, K) x (R, C) ->
+    (K, C), contracting dim 0 of both).
+
+    The gas tables' splits are done once host-side (plan.split_tables);
+    the shared one-hot's split is done once per layer block — re-splitting
+    the (128, LB*C) one-hot inside every contraction (2 dense + 2 x wv LUT
+    slices per block) was ~27 redundant full-width VPU passes per block,
+    the single largest hidden cost of the optics phase."""
+    if _MXU_MODE != "bf16x3":
+        # split_for_mxu passes (a, 0) through in these modes.
+        return matmul_f32_t(a_hi, b_hi)
+    dn = (((0,), (0,)), ((), ()))
     dot = lambda x, y: jax.lax.dot_general(
         x, y, dimension_numbers=dn, precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=F32)
@@ -235,9 +272,13 @@ def gas_tau_block_multi(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
     only on the atmosphere and the grid, not the model).
 
     ``specs`` is a tuple of per-model
-    (plan, vmr_kinds, dense_t_ref, lut_t_ref, log_mf0, inv_dlogv)
-    tuples; ``vmr_kinds`` maps the plan's vmr slots into the SHARED
-    profile/scalar stacks (plan.split_vmrs_multi).  Returns
+    (plan, vmr_kinds, dense_hi_ref, dense_lo_ref, lut_hi_ref, lut_lo_ref,
+    log_mf0, inv_dlogv) tuples — the tables arrive PRESPLIT into bf16
+    hi/lo halves (plan.split_tables, bitwise-identical to the in-kernel
+    split they replace) so each contraction is 3 bare bf16 MXU passes;
+    the shared one-hot is split ONCE per block.  ``vmr_kinds`` maps the
+    plan's vmr slots into the SHARED profile/scalar stacks
+    (plan.split_vmrs_multi).  Returns
     ([tau_blk (NG_m, LB*C) per spec], d_p (1, LB*C)).
 
     The fused equivalent of the reference per-gas loop
@@ -310,9 +351,10 @@ def gas_tau_block_multi(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
     # identical index arithmetic below CSEs into one computation.
     lut_state = []
     wv_eff = wv
-    for plan, vmr_kinds, dense_t_ref, lut_t_ref, log_mf0, inv_dlogv in specs:
+    for (plan, vmr_kinds, _dh, _dl, lut_hi_ref, _ll, log_mf0,
+         inv_dlogv) in specs:
         n_lut = plan.lut_sizes[0] if plan.lut_sizes else 0
-        has_lut = n_lut > 0 and lut_t_ref is not None
+        has_lut = n_lut > 0 and lut_hi_ref is not None
         if not has_lut:
             lut_state.append(None)
             continue
@@ -328,28 +370,43 @@ def gas_tau_block_multi(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
         return w_h2o * (jnp.where(i0v == v, 1.0 - wv1, F32(0.0))
                         + jnp.where(i0v + 1 == v, wv1, F32(0.0)))
 
-    def tau_from(spec, st, oh, dense_tab, lut_slice):
-        """Accumulate one spec's gases against the shared one-hot;
-        ``lut_slice`` holds (table slice, weight) pairs matching the
-        one-hot's row window."""
-        plan, vmr_kinds = spec[0], spec[1]
-        ng = plan.ng_pad
-        tau = jnp.zeros((ng, oh.shape[1]), F32)
-        if plan.slices:
-            coeff = matmul_f32_t(dense_tab, oh)   # (n_dense*NG, LB*C)
-        for s, sl in enumerate(plan.slices):
-            if sl.vmr_slot >= 0:
-                vm = vmr_row(vmr_kinds, sl.vmr_slot)
-                w = simple_w * (F32(sl.a) * vm + F32(sl.b))
-            else:
-                w = simple_w * F32(sl.b)
-            # Non-negative tables turn the per-g-point clamp
-            # (gas_optics_ecckd.f90:234-238) into a weight clamp.
-            w = jnp.maximum(w, F32(0.0))
-            tau += w * coeff[s * ng:(s + 1) * ng, :]
-        for dv, wght in lut_slice:
-            tau += wght * matmul_f32_t(dv, oh)
-        return tau
+    def taus_from(ohs, parts):
+        """ONE packed contraction for every model's every table block.
+
+        ``parts`` is a per-model list of ((hi, lo) window, ...) pieces —
+        the dense window plus each LUT slice — all sharing the one-hot's
+        rows.  They are lane-concatenated into a single operand so the
+        whole block costs 3 bf16 MXU passes instead of 3 per piece: the
+        contraction is MXU PASS/occupancy-bound at these sizes (a
+        wp*8 -> wp*4 depth cut measured ~0 while a 3->1 pass cut
+        measured ~1.5x), so pass count is what matters.
+        """
+        cat = lambda k: jnp.concatenate([p[k] for m in parts for p in m],
+                                        axis=1)
+        coeff = matmul_t_presplit(cat(0), cat(1), *ohs)
+        taus = []
+        off = 0
+        for m, spec in enumerate(specs):
+            plan, vmr_kinds = spec[0], spec[1]
+            ng = plan.ng_pad
+            tau = jnp.zeros((ng, ohs[0].shape[1]), F32)
+            for s, sl in enumerate(plan.slices):
+                if sl.vmr_slot >= 0:
+                    vm = vmr_row(vmr_kinds, sl.vmr_slot)
+                    w = simple_w * (F32(sl.a) * vm + F32(sl.b))
+                else:
+                    w = simple_w * F32(sl.b)
+                # Non-negative tables turn the per-g-point clamp
+                # (gas_optics_ecckd.f90:234-238) into a weight clamp.
+                w = jnp.maximum(w, F32(0.0))
+                tau += w * coeff[off + s * ng:off + (s + 1) * ng, :]
+            if plan.slices:
+                off += len(plan.slices) * ng
+            for wght in lut_weights[m]:
+                tau += wght * coeff[off:off + ng, :]
+                off += ng
+            taus.append(tau)
+        return tuple(taus)
 
     win_p = wp < n_p
     ok = None
@@ -370,6 +427,8 @@ def gas_tau_block_multi(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
             base_v.append(None)
     any_win = win_p or any(win_v)
 
+    lut_weights = [[] for _ in specs]   # filled per fast/full branch
+
     def fast(_):
         if win_p:
             oh = pt_onehot(wp * n_t8, n_t8, i0p - base_p, wp1, i0t, wt1)
@@ -379,35 +438,45 @@ def gas_tau_block_multi(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
             oh = pt_onehot(n_p * n_t8, n_t8, i0p, wp1, i0t, wt1)
             row0 = 0
             nrow = n_p * n_t8
-        taus = []
+        ohs = split_for_mxu(oh)
+        parts = []
         for m, spec in enumerate(specs):
-            plan, _, dense_t_ref, lut_t_ref = spec[:4]
-            dense_tab = None
+            plan, _, dense_hi, dense_lo, lut_hi, lut_lo = spec[:6]
+            mine = []
             if plan.slices:
-                dense_tab = (dense_t_ref[pl.ds(base_p * n_t8, wp * n_t8), :]
-                             if win_p else dense_t_ref[...])
-            lut = []
+                win = lambda r: (r[pl.ds(base_p * n_t8, wp * n_t8), :]
+                                 if win_p else r[...])
+                mine.append((win(dense_hi), win(dense_lo)))
             st = lut_state[m]
+            lut_weights[m] = []
             if st is not None:
                 vb = base_v[m] if win_v[m] else 0
                 nl = st[0] if not win_v[m] else wv_eff
-                lut = [(lut_t_ref[vb + dv, pl.ds(row0, nrow), :]
-                        if (win_v[m] or win_p) else lut_t_ref[dv],
-                        lut_weight(st, vb + dv)) for dv in range(nl)]
-            taus.append(tau_from(spec, st, oh, dense_tab, lut))
-        return tuple(taus)
+                sl3 = lambda r, dv: (r[vb + dv, pl.ds(row0, nrow), :]
+                                     if (win_v[m] or win_p) else r[dv])
+                for dv in range(nl):
+                    mine.append((sl3(lut_hi, dv), sl3(lut_lo, dv)))
+                    lut_weights[m].append(lut_weight(st, vb + dv))
+            parts.append(mine)
+        return taus_from(ohs, parts)
 
     def full(_):
         oh = pt_onehot(n_p * n_t8, n_t8, i0p, wp1, i0t, wt1)
-        taus = []
+        ohs = split_for_mxu(oh)
+        parts = []
         for m, spec in enumerate(specs):
-            plan, _, dense_t_ref, lut_t_ref = spec[:4]
-            dense_tab = dense_t_ref[...] if plan.slices else None
+            plan, _, dense_hi, dense_lo, lut_hi, lut_lo = spec[:6]
+            mine = []
+            if plan.slices:
+                mine.append((dense_hi[...], dense_lo[...]))
             st = lut_state[m]
-            lut = ([(lut_t_ref[v], lut_weight(st, v)) for v in range(st[0])]
-                   if st is not None else [])
-            taus.append(tau_from(spec, st, oh, dense_tab, lut))
-        return tuple(taus)
+            lut_weights[m] = []
+            if st is not None:
+                for v in range(st[0]):
+                    mine.append((lut_hi[v], lut_lo[v]))
+                    lut_weights[m].append(lut_weight(st, v))
+            parts.append(mine)
+        return taus_from(ohs, parts)
 
     if any_win:
         tau_blks = jax.lax.cond(ok, fast, full, 0)
@@ -418,12 +487,14 @@ def gas_tau_block_multi(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
 
 def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
                   vmr_kinds, t_first_ref,
-                  dense_t_ref, lut_t_ref, log_p0, inv_dlogp, inv_dt,
+                  dense_hi_ref, dense_lo_ref, lut_hi_ref, lut_lo_ref,
+                  log_p0, inv_dlogp, inv_dt,
                   log_mf0, inv_dlogv, plan, mpp, lb=1, wp=16, wv=4):
     """Single-model wrapper over gas_tau_block_multi (see there)."""
     taus, d_p = gas_tau_block_multi(
         b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref, t_first_ref,
-        ((plan, vmr_kinds, dense_t_ref, lut_t_ref, log_mf0, inv_dlogv),),
+        ((plan, vmr_kinds, dense_hi_ref, dense_lo_ref, lut_hi_ref,
+          lut_lo_ref, log_mf0, inv_dlogv),),
         log_p0, inv_dlogp, inv_dt, mpp, lb=lb, wp=wp, wv=wv)
     return taus[0], d_p
 

@@ -43,7 +43,8 @@ P_LOG_P0, P_INV_DLOGP, P_INV_DT, P_PLANCK_T0, P_INV_PLANCK_DT, \
     P_LOG_MF0, P_INV_DLOGV, P_NPARAMS = range(8)
 
 
-def _lw_kernel(params_ref, t_first_ref, table_t_ref, lut_t_ref,
+def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
+               lut_hi_ref, lut_lo_ref,
                planck_hi_ref, planck_lo_ref,
                planck_row0_ref, logp_ref, dp_ref, tlay_ref, tlev_ref,
                tsfc_ref, emis_ref, vmrp_ref, vmrs_ref, up_ref, dn_ref,
@@ -97,7 +98,8 @@ def _lw_kernel(params_ref, t_first_ref, table_t_ref, lut_t_ref,
     def optics_block(b, carry):
         tau_blk, _dp = common.gas_tau_block(
             b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref, vmr_kinds,
-            t_first_ref, table_t_ref, lut_t_ref,
+            t_first_ref, table_hi_ref, table_lo_ref, lut_hi_ref,
+            lut_lo_ref,
             log_p0, inv_dlogp, inv_dt, log_mf0, inv_dlogv, plan, mpp,
             lb=lb, wp=wp, wv=wv)
         play_blk = planck(tlay_ref[pl.ds(b, 1), :])
@@ -267,6 +269,8 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     lut_t = plan_mod.lut_table_t(model, p, gas_concs.names, F32)
     if lut_t is None:
         lut_t = jnp.zeros((1, 8, p.ng_pad), F32)
+    table_hi, table_lo = common.split_for_mxu(table_t)
+    lut_hi, lut_lo = common.split_for_mxu(lut_t)
     vmr_prof, vmr_scal, vmr_kinds = plan_mod.split_vmrs(
         p, gas_concs, ncol, nlay, F32)
     if vmr_prof is None:
@@ -329,6 +333,9 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n_p_pad, 1), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec(table_t.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(table_t.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(lut_t.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(lut_t.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, npl_pad), rep2, memory_space=pltpu.VMEM),
@@ -380,7 +387,8 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             # limit is slightly exceeded, the physical budget is not.
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(params, t_first, table_t, lut_t, planck_hi, planck_lo,
+    )(params, t_first, table_hi, table_lo, lut_hi, lut_lo,
+      planck_hi, planck_lo,
       planck_row0, logp_t, dp_t, tlay_t, tlev_t, tsfc_t, emis_t,
       vmrp_t, vmrs_t)
     flux_up, flux_dn = out

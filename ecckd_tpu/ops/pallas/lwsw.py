@@ -43,9 +43,11 @@ F32 = jnp.float32
 
 
 def _lwsw_kernel(params_ref, t_first_ref,
-                 lw_table_ref, lw_lut_ref, planck_hi_ref, planck_lo_ref,
+                 lw_table_hi_ref, lw_table_lo_ref, lw_lut_hi_ref,
+                 lw_lut_lo_ref, planck_hi_ref, planck_lo_ref,
                  planck_row0_ref,
-                 sw_table_ref, sw_lut_ref, ray_ref, solar_ref,
+                 sw_table_hi_ref, sw_table_lo_ref, sw_lut_hi_ref,
+                 sw_lut_lo_ref, ray_ref, solar_ref,
                  logp_ref, dp_ref, tlay_ref, tlev_ref, tsfc_ref, emis_ref,
                  mu0_ref, tsi_scale_ref, alb_ref, vmrp_ref, vmrs_ref,
                  lwup_ref, lwdn_ref, swup_ref, swdn_ref,
@@ -73,9 +75,11 @@ def _lwsw_kernel(params_ref, t_first_ref,
         n_planck=n_planck, npl_pad=npl_pad, inv_pi=inv_pi)
 
     specs = (
-        (lw_plan, lw_kinds, lw_table_ref, lw_lut_ref,
+        (lw_plan, lw_kinds, lw_table_hi_ref, lw_table_lo_ref,
+         lw_lut_hi_ref, lw_lut_lo_ref,
          params_ref[P_LW_LOG_MF0], params_ref[P_LW_INV_DLOGV]),
-        (sw_plan, sw_kinds, sw_table_ref, sw_lut_ref,
+        (sw_plan, sw_kinds, sw_table_hi_ref, sw_table_lo_ref,
+         sw_lut_hi_ref, sw_lut_lo_ref,
          params_ref[P_SW_LOG_MF0], params_ref[P_SW_INV_DLOGV]),
     )
 
@@ -273,6 +277,10 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
 
     lw_table, lw_lut = tables(model_lw, p_lw)
     sw_table, sw_lut = tables(model_sw, p_sw)
+    lw_table_hi, lw_table_lo = common.split_for_mxu(lw_table)
+    lw_lut_hi, lw_lut_lo = common.split_for_mxu(lw_lut)
+    sw_table_hi, sw_table_lo = common.split_for_mxu(sw_table)
+    sw_lut_hi, sw_lut_lo = common.split_for_mxu(sw_lut)
     vmr_prof, vmr_scal, kinds_all = plan_mod.split_vmrs_multi(
         (p_lw, p_sw), gas_concs, ncol, nlay, F32)
     lw_kinds, sw_kinds = kinds_all
@@ -363,12 +371,18 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n_p_pad, 1), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec(lw_table.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(lw_table.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(lw_lut.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(lw_lut.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ng_lw, npl_pad), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng_lw, npl_pad), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng_lw, 1), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec(sw_table.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(sw_table.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(sw_lut.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(sw_lut.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ng_sw, 1), rep2, memory_space=pltpu.VMEM),
@@ -406,8 +420,10 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(params, t_first, lw_table, lw_lut, planck_hi, planck_lo,
-      planck_row0, sw_table, sw_lut, ray, solar_col, logp_t, dp_t,
+    )(params, t_first, lw_table_hi, lw_table_lo, lw_lut_hi, lw_lut_lo,
+      planck_hi, planck_lo,
+      planck_row0, sw_table_hi, sw_table_lo, sw_lut_hi, sw_lut_lo, ray,
+      solar_col, logp_t, dp_t,
       tlay_t, tlev_t, tsfc_t, emis_t, mu0_t, tsi_t, alb_t, vmrp_t,
       vmrs_t)
     lw_up, lw_dn, sw_up, sw_dn = out

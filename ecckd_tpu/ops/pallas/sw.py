@@ -34,7 +34,8 @@ from ecckd_tpu.ops.pallas.lw import (COL_TILE, LAYER_BLOCK, P_INV_DLOGP,
 F32 = jnp.float32
 
 
-def _sw_kernel(params_ref, t_first_ref, table_t_ref, lut_t_ref,
+def _sw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
+               lut_hi_ref, lut_lo_ref,
                ray_ref, solar_ref,
                logp_ref, dp_ref, tlay_ref, mu0_ref, tsi_scale_ref,
                alb_dir_ref, alb_dif_ref, vmrp_ref, vmrs_ref, up_ref, dn_ref,
@@ -73,7 +74,8 @@ def _sw_kernel(params_ref, t_first_ref, table_t_ref, lut_t_ref,
         inv_mu0 = inv_mu0_blk
         tau_gas, d_p = common.gas_tau_block(
             b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref, vmr_kinds,
-            t_first_ref, table_t_ref, lut_t_ref,
+            t_first_ref, table_hi_ref, table_lo_ref, lut_hi_ref,
+            lut_lo_ref,
             log_p0, inv_dlogp, inv_dt, log_mf0, inv_dlogv, plan, mpp,
             lb=lb, wp=wp, wv=wv)
         tau_ray = (mpp * d_p) * ray_ref[...]                # (NG, C)
@@ -200,6 +202,8 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     lut_t = plan_mod.lut_table_t(model, p, gas_concs.names, F32)
     if lut_t is None:
         lut_t = jnp.zeros((1, 8, p.ng_pad), F32)
+    table_hi, table_lo = common.split_for_mxu(table_t)
+    lut_hi, lut_lo = common.split_for_mxu(lut_t)
     vmr_prof, vmr_scal, vmr_kinds = plan_mod.split_vmrs(
         p, gas_concs, ncol, nlay, F32)
     if vmr_prof is None:
@@ -269,6 +273,9 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n_p_pad, 1), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec(table_t.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(table_t.shape, rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(lut_t.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(lut_t.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, 1), rep2, memory_space=pltpu.VMEM),
@@ -311,7 +318,8 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             # limit is slightly exceeded, the physical budget is not.
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(params, t_first, table_t, lut_t, ray, solar_col, logp_t, dp_t,
+    )(params, t_first, table_hi, table_lo, lut_hi, lut_lo, ray,
+      solar_col, logp_t, dp_t,
       tlay_t, mu0_t, tsi_t, alb_t, alb_t, vmrp_t, vmrs_t)
     flux_up, flux_dn = out
     mask = usecol.astype(F32)[:, None]
