@@ -37,3 +37,19 @@ def enable_f64_validation_mode() -> None:
     """Switch JAX to x64 so results can be compared against the Fortran
     double-precision chain.  Call before constructing models."""
     jax.config.update("jax_enable_x64", True)
+
+
+def set_mxu_precision(mode: str) -> None:
+    """Select the fused kernels' MXU contraction mode BEFORE tracing.
+
+    ``bf16x3`` (default): ~f32-exact 3-pass split — the accuracy-faithful
+    path.  ``bf16``: 1-pass fast mode, ~1e-4 broadband-flux error (inside
+    the ckd models' own 0.05 K/day heating-rate tolerance), ~1.3x faster.
+    ``highest``: Mosaic 6-pass f32 (validation experiments).  Equivalent
+    to setting ECCKD_MXU_PRECISION before import; this setter also works
+    after import as long as no jit trace has happened yet.
+    """
+    if mode not in ("bf16x3", "bf16", "highest", "default"):
+        raise ValueError(f"unknown MXU precision mode: {mode!r}")
+    from ecckd_tpu.ops.pallas import common
+    common._MXU_MODE = mode

@@ -100,3 +100,28 @@ def gas_optics_sw(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     toa_src = jnp.broadcast_to(model.solar_irradiance,
                                (ncol, model.ngpt)).astype(tau.dtype)
     return OpticalProps2str(tau=tau, ssa=ssa, g=g), toa_src
+
+
+def gas_optics(model: CKDModel, plev: jax.Array, tlay: jax.Array,
+               gas_concs: GasConcs, tsfc: jax.Array = None,
+               tlev: jax.Array = None, **kwargs):
+    """Generic dispatch mirroring the reference's ``ecckd%gas_optics(...)``
+    binding (mo_gas_optics declares gas_optics_int/_ext behind one generic
+    name; drivers call it with the LW or SW signature,
+    ecckd_rfmip_lw.F90:120-127 / ecckd_rfmip_sw.F90:118-123).
+
+    LW models (source_is_internal) require ``tsfc`` and ``tlev`` and
+    return (OpticalProps1scl, SourceFuncLW); SW models return
+    (OpticalProps2str, toa_src).  Extra kwargs pass through
+    (play/col_dry parity args, logarithmic_interpolation).
+    """
+    if model.source_is_internal():
+        if tsfc is None or tlev is None:
+            raise ValueError("longwave gas_optics requires tsfc and tlev "
+                             "(gas_optics_ecckd.f90:414-417)")
+        return gas_optics_lw(model, plev, tlay, tsfc, gas_concs, tlev,
+                             **kwargs)
+    if tsfc is not None or tlev is not None:
+        raise ValueError("shortwave gas_optics takes no tsfc/tlev "
+                         "(gas_optics_ecckd.f90:431-473)")
+    return gas_optics_sw(model, plev, tlay, gas_concs, **kwargs)

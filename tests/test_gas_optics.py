@@ -221,3 +221,31 @@ def test_logarithmic_interpolation_vs_oracle(lw_model):
             logarithmic=True)
         np.testing.assert_allclose(np.asarray(got), ref, rtol=5e-11,
                                    atol=1e-18)
+
+
+def test_generic_gas_optics_dispatch(lw_model, sw_model):
+    """The generic gas_optics mirrors the reference's one-name binding:
+    LW signature on an internal-source model, SW on external, with
+    ValueError for signature/model mismatches."""
+    import pytest
+    from ecckd_tpu.models.gas_optics import gas_optics
+    atm = make_atmosphere(ncol=2, nlay=12, seed=9)
+    concs, _ = rfmip_request(2, 12, atm)
+    props, src = gas_optics(lw_model, atm["plev"], atm["tlay"], concs,
+                            tsfc=atm["tsfc"], tlev=atm["tlev"])
+    ref_p, ref_s = gas_optics_lw(lw_model, atm["plev"], atm["tlay"],
+                                 atm["tsfc"], concs, atm["tlev"])
+    np.testing.assert_array_equal(np.asarray(props.tau),
+                                  np.asarray(ref_p.tau))
+    np.testing.assert_array_equal(np.asarray(src.sfc_source),
+                                  np.asarray(ref_s.sfc_source))
+    props2, toa = gas_optics(sw_model, atm["plev"], atm["tlay"], concs)
+    ref2, ref_toa = gas_optics_sw(sw_model, atm["plev"], atm["tlay"],
+                                  concs)
+    np.testing.assert_array_equal(np.asarray(props2.tau),
+                                  np.asarray(ref2.tau))
+    with pytest.raises(ValueError):
+        gas_optics(lw_model, atm["plev"], atm["tlay"], concs)  # no tlev
+    with pytest.raises(ValueError):
+        gas_optics(sw_model, atm["plev"], atm["tlay"], concs,
+                   tsfc=atm["tsfc"], tlev=atm["tlev"])
