@@ -31,7 +31,8 @@ from ecckd_tpu.gases import GasConcs
 from ecckd_tpu.models.ckd import CKDModel
 from ecckd_tpu.ops.pallas import common, plan as plan_mod
 from ecckd_tpu.ops.pallas.lw import (COL_TILE, LAYER_BLOCK, P_WINDOW,
-                                     V_WINDOW, _block_lanes, _pad_cols)
+                                     V_WINDOW, _block_cols, _block_lanes,
+                                     _pad_cols)
 from ecckd_tpu.solvers.quadrature import gauss_angles
 
 F32 = jnp.float32
@@ -332,13 +333,11 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
     n_blk = -(-nlay // lb)
     n_blk_lev = -(-(nlay + 1) // lb)
     blk = lambda x, pv=None: _block_lanes(x, lb, ct, pv)
-    logp_t = blk(_pad_cols(
-        jnp.log(0.5 * (plev[:, 1:] + plev[:, :-1])).astype(F32).T,
-        ncol_pad))
-    dp_t = blk(_pad_cols((plev[:, 1:] - plev[:, :-1]).astype(F32).T,
-                         ncol_pad), 0.0)
-    tlay_t = blk(_pad_cols(tlay.astype(F32).T, ncol_pad))
-    tlev_t = blk(_pad_cols(tlev.astype(F32).T, ncol_pad))
+    blkc = lambda x, pv=None: _block_cols(x, lb, ct, ncol_pad, pv)
+    logp_t = blkc(jnp.log(0.5 * (plev[:, 1:] + plev[:, :-1])).astype(F32))
+    dp_t = blkc((plev[:, 1:] - plev[:, :-1]).astype(F32), 0.0)
+    tlay_t = blkc(tlay.astype(F32))
+    tlev_t = blkc(tlev.astype(F32))
     tsfc_t = _pad_cols(tsfc.astype(F32)[None, :], ncol_pad)
     emis_t = _pad_cols(
         jnp.zeros((ng_lw, ncol), F32).at[:model_lw.ngpt].set(

@@ -29,7 +29,7 @@ from ecckd_tpu.ops.pallas import common, plan as plan_mod
 from ecckd_tpu.ops.pallas.lw import (COL_TILE, LAYER_BLOCK, P_INV_DLOGP,
                                      P_INV_DLOGV, P_INV_DT, P_LOG_MF0,
                                      P_LOG_P0, P_WINDOW, V_WINDOW,
-                                     _block_lanes, _pad_cols)
+                                     _block_cols, _block_lanes, _pad_cols)
 
 F32 = jnp.float32
 
@@ -244,11 +244,10 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     ncol_pad = ((ncol + COL_TILE - 1) // COL_TILE) * COL_TILE
     lb0 = LAYER_BLOCK
     blk = lambda x, pv=None: _block_lanes(x, lb0, COL_TILE, pv)
-    logp_t = blk(_pad_cols(
-        jnp.log(0.5 * (plev[:, 1:] + plev[:, :-1])).astype(F32).T, ncol_pad))
-    dp_t = blk(_pad_cols((plev[:, 1:] - plev[:, :-1]).astype(F32).T,
-                         ncol_pad), 0.0)
-    tlay_t = blk(_pad_cols(tlay.astype(F32).T, ncol_pad))
+    blkc = lambda x, pv=None: _block_cols(x, lb0, COL_TILE, ncol_pad, pv)
+    logp_t = blkc(jnp.log(0.5 * (plev[:, 1:] + plev[:, :-1])).astype(F32))
+    dp_t = blkc((plev[:, 1:] - plev[:, :-1]).astype(F32), 0.0)
+    tlay_t = blkc(tlay.astype(F32))
     mu0_t = _pad_cols(mu0[None, :].astype(F32), ncol_pad)
     tsi_t = _pad_cols(tsi_scale.astype(F32), ncol_pad)
     alb_t = _pad_cols(alb_gpt, ncol_pad)
