@@ -262,6 +262,26 @@ def pressure_temperature_index(log_p, t_lay, t_first_ref, log_p0, inv_dlogp,
     return i0p, wp1, i0t, wt1
 
 
+def fill_lane_blocks(dst, src, n_blk, lb):
+    """Fill layer-blocked scratch ``dst`` (n_blk, lb*C) — or (n, n_blk,
+    lb*C) for a stacked leading axis — from a ROW-MAJOR input ref ``src``
+    (rows_pad, C) / (n, rows_pad, C) by concatenating ``lb`` consecutive
+    row vectors onto the lane axis.  These are cheap VPU (1, C) copies;
+    doing the relayout here replaces a strided XLA relayout pass that
+    measured ~10x off HBM speed of light (see lw._rows_t)."""
+    import jax.experimental.pallas as pl
+    if len(src.shape) == 3:
+        for v in range(src.shape[0]):
+            for b in range(n_blk):
+                dst[v, pl.ds(b, 1), :] = jnp.concatenate(
+                    [src[v, pl.ds(b * lb + l, 1), :] for l in range(lb)],
+                    axis=1)
+    else:
+        for b in range(n_blk):
+            dst[pl.ds(b, 1), :] = jnp.concatenate(
+                [src[pl.ds(b * lb + l, 1), :] for l in range(lb)], axis=1)
+
+
 def gas_tau_block_multi(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
                         t_first_ref, specs, log_p0, inv_dlogp, inv_dt,
                         mpp, lb=1, wp=16, wv=4):

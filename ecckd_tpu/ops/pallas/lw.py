@@ -36,6 +36,14 @@ COL_TILE = int(os.environ.get("ECCKD_COL_TILE", "128"))
 # -5% wall; the SW kernel REGRESSES at 256 — larger per-level adding
 # scratch — so it stays at COL_TILE).
 LW_COL_TILE = int(os.environ.get("ECCKD_LW_COL_TILE", "256"))
+# In-kernel lane blocking (default): the pre-kernel XLA pass does only a
+# plain 2-D transpose; the layer-blocked relayout happens inside the kernel
+# as VPU row-concats.  "0" restores the XLA _block_cols relayout (A/B knob).
+INKERNEL_BLOCK = os.environ.get("ECCKD_INKERNEL_BLOCK", "1") == "1"
+# Unroll the phase-A block loop: consecutive blocks' MXU contractions are
+# independent of the previous block's VPU two-stream/source math, so an
+# unrolled loop lets Mosaic overlap MXU and VPU work across blocks.
+UNROLL_BLOCKS = os.environ.get("ECCKD_UNROLL_BLOCKS", "0") == "1"
 F32 = jnp.float32
 
 # params SMEM layout
@@ -48,11 +56,23 @@ def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
                planck_hi_ref, planck_lo_ref,
                planck_row0_ref, logp_ref, dp_ref, tlay_ref, tlev_ref,
                tsfc_ref, emis_ref, vmrp_ref, vmrs_ref, up_ref, dn_ref,
-               blk_a_s, blk_b_s, blk_c_s, trans_s, srcup_s, plevb_s, *,
+               blk_a_s, blk_b_s, blk_c_s, trans_s, srcup_s, plevb_s,
+               logp_s, dp_s, tlay_s, tlev_s, vmrp_s, *,
                plan: plan_mod.GasOpticsPlan, vmr_kinds, nlay: int,
                n_planck: int, npl_pad: int, secants: Tuple[float, ...],
                weights: Tuple[float, ...], lb: int, n_blk: int,
-               n_blk_lev: int, ctile: int, wp: int, wv: int):
+               n_blk_lev: int, ctile: int, wp: int, wv: int,
+               inblock: bool):
+    if inblock:
+        # Row-major inputs -> layer-blocked lane layout, in-kernel (see
+        # common.fill_lane_blocks).
+        common.fill_lane_blocks(logp_s, logp_ref, n_blk, lb)
+        common.fill_lane_blocks(dp_s, dp_ref, n_blk, lb)
+        common.fill_lane_blocks(tlay_s, tlay_ref, n_blk, lb)
+        common.fill_lane_blocks(tlev_s, tlev_ref, n_blk_lev, lb)
+        common.fill_lane_blocks(vmrp_s, vmrp_ref, n_blk, lb)
+        logp_ref, dp_ref, tlay_ref = logp_s, dp_s, tlay_s
+        tlev_ref, vmrp_ref = tlev_s, vmrp_s
     log_p0 = params_ref[P_LOG_P0]
     inv_dlogp = params_ref[P_INV_DLOGP]
     inv_dt = params_ref[P_INV_DT]
@@ -93,7 +113,7 @@ def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
         plevb_s[b] = planck(tlev_ref[pl.ds(b, 1), :])
         return carry
 
-    common.fori32(0, n_blk_lev, level_blk_eval, 0, unroll=False)
+    common.fori32(0, n_blk_lev, level_blk_eval, 0, unroll=UNROLL_BLOCKS)
 
     def optics_block(b, carry):
         tau_blk, _dp = common.gas_tau_block(
@@ -128,7 +148,7 @@ def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
             blk_b_s[b] = play_blk
         return carry
 
-    common.fori32(0, n_blk, optics_block, 0, unroll=False)
+    common.fori32(0, n_blk, optics_block, 0, unroll=UNROLL_BLOCKS)
 
     sfc_src = planck(tsfc_ref[...])
 
@@ -261,6 +281,35 @@ def _block_cols(x: jax.Array, lb: int, col_tile: int, ncol_pad: int,
         lead + (n_blk, ntiles * lb * col_tile))
 
 
+def _pad_rows(x: jax.Array, rows_pad: int,
+              pad_value: float | None = None) -> jax.Array:
+    """Pad the (..., rows, ncol) row axis to ``rows_pad`` — by edge copy
+    (valid physics) or with ``pad_value`` (0 for pressure thickness)."""
+    rows = x.shape[-2]
+    if rows_pad == rows:
+        return x
+    lead = x.shape[:-2]
+    if pad_value is None:
+        tail = jnp.broadcast_to(x[..., -1:, :],
+                                lead + (rows_pad - rows, x.shape[-1]))
+    else:
+        tail = jnp.full(lead + (rows_pad - rows, x.shape[-1]), pad_value,
+                        x.dtype)
+    return jnp.concatenate([x, tail], axis=-2)
+
+
+def _rows_t(x: jax.Array, rows_pad: int, ncol_pad: int,
+            pad_value: float | None = None) -> jax.Array:
+    """(..., ncol, rows) -> row-major (..., rows_pad, ncol_pad): ONE plain
+    2-D transpose + edge/const padding.  The layer-blocked lane relayout
+    (_block_lanes) then happens IN-KERNEL from this layout (cheap VPU
+    row-concats) instead of as a strided XLA relayout pass — the XLA
+    version measured ~3.2 ms/65k-col solve (~10x off HBM speed of light),
+    ~11% of the merged-kernel epoch."""
+    return _pad_cols(_pad_rows(jnp.swapaxes(x, -1, -2), rows_pad,
+                               pad_value), ncol_pad)
+
+
 def _pad_cols(x: jax.Array, ncol_pad: int) -> jax.Array:
     """Edge-pad the trailing (column) axis so padded columns hold valid
     physics (no log(0)/NaN) and are simply sliced away afterwards."""
@@ -327,12 +376,21 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     lb = LAYER_BLOCK
     n_blk = -(-nlay // lb)
     n_blk_lev = -(-(nlay + 1) // lb)
-    blk = lambda x, pv=None: _block_lanes(x, lb, ct, pv)
-    blkc = lambda x, pv=None: _block_cols(x, lb, ct, ncol_pad, pv)
+    rows_pad = n_blk * lb
+    rows_pad_lev = n_blk_lev * lb
+    if INKERNEL_BLOCK:
+        blk = lambda x, pv=None: _pad_cols(_pad_rows(x, rows_pad, pv),
+                                           ncol_pad)
+        blkc = lambda x, pv=None: _rows_t(x, rows_pad, ncol_pad, pv)
+        blkc_lev = lambda x, pv=None: _rows_t(x, rows_pad_lev, ncol_pad, pv)
+    else:
+        blk = lambda x, pv=None: _block_lanes(x, lb, ct, pv)
+        blkc = lambda x, pv=None: _block_cols(x, lb, ct, ncol_pad, pv)
+        blkc_lev = blkc
     logp_t = blkc(jnp.log(0.5 * (plev[:, 1:] + plev[:, :-1])).astype(F32))
     dp_t = blkc((plev[:, 1:] - plev[:, :-1]).astype(F32), 0.0)
     tlay_t = blkc(tlay.astype(F32))
-    tlev_t = blkc(tlev.astype(F32))
+    tlev_t = blkc_lev(tlev.astype(F32))
     tsfc_t = _pad_cols(tsfc.astype(F32)[None, :], ncol_pad)
     emis_t = _pad_cols(
         jnp.zeros((ng, ncol), F32).at[:model.ngpt].set(
@@ -345,13 +403,18 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
         _lw_kernel, plan=p, vmr_kinds=vmr_kinds, nlay=nlay,
         n_planck=n_planck, npl_pad=npl_pad,
         secants=tuple(secants), weights=tuple(weights), lb=lb, n_blk=n_blk,
-        n_blk_lev=n_blk_lev, ctile=ct, wp=P_WINDOW, wv=V_WINDOW)
+        n_blk_lev=n_blk_lev, ctile=ct, wp=P_WINDOW, wv=V_WINDOW,
+        inblock=INKERNEL_BLOCK)
 
     nlev = nlay + 1
     n_vp, n_vs = vmrp_t.shape[0], vmrs_t.shape[0]
     rep2 = lambda i: (0, 0)
     col2 = lambda i: (0, i)
     rep3c = lambda i: (0, 0, i)
+    if INKERNEL_BLOCK:
+        lanes_in, lay_rows, lev_rows = ct, rows_pad, rows_pad_lev
+    else:
+        lanes_in, lay_rows, lev_rows = lb * ct, n_blk, n_blk_lev
     grid = (ncol_pad // ct,)
     out = pl.pallas_call(
         kernel,
@@ -368,17 +431,17 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             pl.BlockSpec((ng, npl_pad), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, npl_pad), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, 1), rep2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blk, lb * ct), col2,
+            pl.BlockSpec((lay_rows, lanes_in), col2,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blk, lb * ct), col2,
+            pl.BlockSpec((lay_rows, lanes_in), col2,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blk, lb * ct), col2,
+            pl.BlockSpec((lay_rows, lanes_in), col2,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blk_lev, lb * ct), col2,
+            pl.BlockSpec((lev_rows, lanes_in), col2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ct), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, ct), col2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_vp, n_blk, lb * ct), rep3c,
+            pl.BlockSpec((n_vp, lay_rows, lanes_in), rep3c,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_vs, ct), col2, memory_space=pltpu.VMEM),
         ],
@@ -406,6 +469,11 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             pltpu.VMEM((1 if n_gauss_angles == 1 else nlay,
                         ng, ct), F32),                 # src up (3-ang)
             pltpu.VMEM((n_blk_lev, ng, lb * ct), F32),  # planck lev blk
+            pltpu.VMEM((n_blk, lb * ct), F32),          # logp blocked
+            pltpu.VMEM((n_blk, lb * ct), F32),          # dp blocked
+            pltpu.VMEM((n_blk, lb * ct), F32),          # tlay blocked
+            pltpu.VMEM((n_blk_lev, lb * ct), F32),      # tlev blocked
+            pltpu.VMEM((n_vp, n_blk, lb * ct), F32),    # vmr blocked
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),

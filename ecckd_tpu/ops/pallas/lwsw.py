@@ -30,9 +30,10 @@ from ecckd_tpu import constants
 from ecckd_tpu.gases import GasConcs
 from ecckd_tpu.models.ckd import CKDModel
 from ecckd_tpu.ops.pallas import common, plan as plan_mod
-from ecckd_tpu.ops.pallas.lw import (COL_TILE, LAYER_BLOCK, P_WINDOW,
-                                     V_WINDOW, _block_cols, _block_lanes,
-                                     _pad_cols)
+from ecckd_tpu.ops.pallas.lw import (COL_TILE, INKERNEL_BLOCK, LAYER_BLOCK,
+                                     P_WINDOW, UNROLL_BLOCKS, V_WINDOW,
+                                     _block_cols, _block_lanes,
+                                     _pad_cols, _pad_rows, _rows_t)
 from ecckd_tpu.solvers.quadrature import gauss_angles
 
 F32 = jnp.float32
@@ -54,12 +55,24 @@ def _lwsw_kernel(params_ref, t_first_ref,
                  lwup_ref, lwdn_ref, swup_ref, swdn_ref,
                  blk_a_s, blk_b_s, blk_c_s, plevb_s,
                  rdif_s, tdif_s, srcup_s, srcdn_s, albedo_s, src_s,
-                 denom_s, *,
+                 denom_s, logp_s, dp_s, tlay_s, tlev_s, vmrp_s, *,
                  lw_plan: plan_mod.GasOpticsPlan,
                  sw_plan: plan_mod.GasOpticsPlan,
                  lw_kinds, sw_kinds, nlay: int, n_planck: int,
                  npl_pad: int, secant: float, weight: float, lb: int,
-                 n_blk: int, n_blk_lev: int, ctile: int, wp: int, wv: int):
+                 n_blk: int, n_blk_lev: int, ctile: int, wp: int, wv: int,
+                 inblock: bool):
+    if inblock:
+        # Inputs arrive ROW-MAJOR (rows_pad, ctile); build the layer-blocked
+        # lane layout (n_blk, lb*ctile) here with cheap VPU row-concats
+        # instead of a strided XLA relayout pass (see common.fill_lane_blocks).
+        common.fill_lane_blocks(logp_s, logp_ref, n_blk, lb)
+        common.fill_lane_blocks(dp_s, dp_ref, n_blk, lb)
+        common.fill_lane_blocks(tlay_s, tlay_ref, n_blk, lb)
+        common.fill_lane_blocks(tlev_s, tlev_ref, n_blk_lev, lb)
+        common.fill_lane_blocks(vmrp_s, vmrp_ref, n_blk, lb)
+        logp_ref, dp_ref, tlay_ref = logp_s, dp_s, tlay_s
+        tlev_ref, vmrp_ref = tlev_s, vmrp_s
     log_p0 = params_ref[P_LOG_P0]
     inv_dlogp = params_ref[P_INV_DLOGP]
     inv_dt = params_ref[P_INV_DT]
@@ -99,7 +112,7 @@ def _lwsw_kernel(params_ref, t_first_ref,
         plevb_s[b] = planck(tlev_ref[pl.ds(b, 1), :])
         return carry
 
-    common.fori32(0, n_blk_lev, level_blk_eval, 0, unroll=False)
+    common.fori32(0, n_blk_lev, level_blk_eval, 0, unroll=UNROLL_BLOCKS)
 
     # --- Phase A: ONE shared one-hot per block -> both models' taus,
     # then each band's per-layer VPU math, all blocked. ------------------
@@ -166,7 +179,7 @@ def _lwsw_kernel(params_ref, t_first_ref,
         denom_s[b] = t_noscat
         return carry
 
-    common.fori32(0, n_blk, optics_block, 0, unroll=False)
+    common.fori32(0, n_blk, optics_block, 0, unroll=UNROLL_BLOCKS)
 
     def chunk(ref, j):
         """Static (NG, C) view of layer/level j from blocked scratch."""
@@ -332,12 +345,21 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
     lb = LAYER_BLOCK
     n_blk = -(-nlay // lb)
     n_blk_lev = -(-(nlay + 1) // lb)
-    blk = lambda x, pv=None: _block_lanes(x, lb, ct, pv)
-    blkc = lambda x, pv=None: _block_cols(x, lb, ct, ncol_pad, pv)
+    rows_pad = n_blk * lb
+    rows_pad_lev = n_blk_lev * lb
+    if INKERNEL_BLOCK:
+        blk = lambda x, pv=None: _pad_cols(_pad_rows(x, rows_pad, pv),
+                                           ncol_pad)
+        blkc = lambda x, pv=None: _rows_t(x, rows_pad, ncol_pad, pv)
+        blkc_lev = lambda x, pv=None: _rows_t(x, rows_pad_lev, ncol_pad, pv)
+    else:
+        blk = lambda x, pv=None: _block_lanes(x, lb, ct, pv)
+        blkc = lambda x, pv=None: _block_cols(x, lb, ct, ncol_pad, pv)
+        blkc_lev = blkc
     logp_t = blkc(jnp.log(0.5 * (plev[:, 1:] + plev[:, :-1])).astype(F32))
     dp_t = blkc((plev[:, 1:] - plev[:, :-1]).astype(F32), 0.0)
     tlay_t = blkc(tlay.astype(F32))
-    tlev_t = blkc(tlev.astype(F32))
+    tlev_t = blkc_lev(tlev.astype(F32))
     tsfc_t = _pad_cols(tsfc.astype(F32)[None, :], ncol_pad)
     emis_t = _pad_cols(
         jnp.zeros((ng_lw, ncol), F32).at[:model_lw.ngpt].set(
@@ -354,14 +376,18 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
         sw_kinds=sw_kinds, nlay=nlay, n_planck=n_planck, npl_pad=npl_pad,
         secant=float(secants[0]), weight=float(weights[0]), lb=lb,
         n_blk=n_blk, n_blk_lev=n_blk_lev, ctile=ct, wp=P_WINDOW,
-        wv=V_WINDOW)
+        wv=V_WINDOW, inblock=INKERNEL_BLOCK)
 
     nlev = nlay + 1
     n_vp, n_vs = vmrp_t.shape[0], vmrs_t.shape[0]
     rep2 = lambda i: (0, 0)
     col2 = lambda i: (0, i)
     rep3c = lambda i: (0, 0, i)
-    blkspec = lambda rows: pl.BlockSpec((rows, lb * ct), col2,
+    if INKERNEL_BLOCK:
+        lanes_in, lay_rows, lev_rows = ct, rows_pad, rows_pad_lev
+    else:
+        lanes_in, lay_rows, lev_rows = lb * ct, n_blk, n_blk_lev
+    blkspec = lambda rows: pl.BlockSpec((rows, lanes_in), col2,
                                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
@@ -386,16 +412,16 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ng_sw, 1), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng_sw, 1), rep2, memory_space=pltpu.VMEM),
-            blkspec(n_blk),                          # logp
-            blkspec(n_blk),                          # dp
-            blkspec(n_blk),                          # tlay
-            blkspec(n_blk_lev),                      # tlev
+            blkspec(lay_rows),                       # logp
+            blkspec(lay_rows),                       # dp
+            blkspec(lay_rows),                       # tlay
+            blkspec(lev_rows),                       # tlev
             pl.BlockSpec((1, ct), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng_lw, ct), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ct), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ct), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng_sw, ct), col2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_vp, n_blk, lb * ct), rep3c,
+            pl.BlockSpec((n_vp, lay_rows, lanes_in), rep3c,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_vs, ct), col2, memory_space=pltpu.VMEM),
         ],
@@ -414,6 +440,11 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
             pltpu.VMEM((nlev, ng_sw, ct), F32),           # albedo/level
             pltpu.VMEM((nlev, ng_sw, ct), F32),           # src/level
             pltpu.VMEM((n_blk, ng_sw, lb * ct), F32),     # t_noscat/denom
+            pltpu.VMEM((n_blk, lb * ct), F32),            # logp blocked
+            pltpu.VMEM((n_blk, lb * ct), F32),            # dp blocked
+            pltpu.VMEM((n_blk, lb * ct), F32),            # tlay blocked
+            pltpu.VMEM((n_blk_lev, lb * ct), F32),        # tlev blocked
+            pltpu.VMEM((n_vp, n_blk, lb * ct), F32),      # vmr blocked
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),

@@ -26,10 +26,12 @@ from ecckd_tpu import constants
 from ecckd_tpu.gases import GasConcs
 from ecckd_tpu.models.ckd import CKDModel
 from ecckd_tpu.ops.pallas import common, plan as plan_mod
-from ecckd_tpu.ops.pallas.lw import (COL_TILE, LAYER_BLOCK, P_INV_DLOGP,
-                                     P_INV_DLOGV, P_INV_DT, P_LOG_MF0,
-                                     P_LOG_P0, P_WINDOW, V_WINDOW,
-                                     _block_cols, _block_lanes, _pad_cols)
+from ecckd_tpu.ops.pallas.lw import (COL_TILE, INKERNEL_BLOCK, LAYER_BLOCK,
+                                     P_INV_DLOGP, P_INV_DLOGV, P_INV_DT,
+                                     P_LOG_MF0, P_LOG_P0, P_WINDOW,
+                                     UNROLL_BLOCKS, V_WINDOW,
+                                     _block_cols, _block_lanes, _pad_cols,
+                                     _pad_rows, _rows_t)
 
 F32 = jnp.float32
 
@@ -40,8 +42,18 @@ def _sw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
                logp_ref, dp_ref, tlay_ref, mu0_ref, tsi_scale_ref,
                alb_dir_ref, alb_dif_ref, vmrp_ref, vmrs_ref, up_ref, dn_ref,
                rdif_s, tdif_s, srcup_s, srcdn_s, albedo_s, src_s, denom_s,
+               logp_s, dp_s, tlay_s, vmrp_s,
                *, plan: plan_mod.GasOpticsPlan, vmr_kinds, nlay: int,
-               lb: int, n_blk: int, ctile: int, wp: int, wv: int):
+               lb: int, n_blk: int, ctile: int, wp: int, wv: int,
+               inblock: bool):
+    if inblock:
+        # Row-major inputs -> layer-blocked lane layout, in-kernel (see
+        # common.fill_lane_blocks).
+        common.fill_lane_blocks(logp_s, logp_ref, n_blk, lb)
+        common.fill_lane_blocks(dp_s, dp_ref, n_blk, lb)
+        common.fill_lane_blocks(tlay_s, tlay_ref, n_blk, lb)
+        common.fill_lane_blocks(vmrp_s, vmrp_ref, n_blk, lb)
+        logp_ref, dp_ref, tlay_ref, vmrp_ref = logp_s, dp_s, tlay_s, vmrp_s
     log_p0 = params_ref[P_LOG_P0]
     inv_dlogp = params_ref[P_INV_DLOGP]
     inv_dt = params_ref[P_INV_DT]
@@ -128,7 +140,7 @@ def _sw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
         denom_s[b] = t_noscat
         return carry
 
-    common.fori32(0, n_blk, optics_block, 0, unroll=False)
+    common.fori32(0, n_blk, optics_block, 0, unroll=UNROLL_BLOCKS)
 
     def chunk(ref, j):
         """Static (NG, C) view of layer j from blocked scratch."""
@@ -243,8 +255,14 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
 
     ncol_pad = ((ncol + COL_TILE - 1) // COL_TILE) * COL_TILE
     lb0 = LAYER_BLOCK
-    blk = lambda x, pv=None: _block_lanes(x, lb0, COL_TILE, pv)
-    blkc = lambda x, pv=None: _block_cols(x, lb0, COL_TILE, ncol_pad, pv)
+    rows_pad = -(-nlay // lb0) * lb0
+    if INKERNEL_BLOCK:
+        blk = lambda x, pv=None: _pad_cols(_pad_rows(x, rows_pad, pv),
+                                           ncol_pad)
+        blkc = lambda x, pv=None: _rows_t(x, rows_pad, ncol_pad, pv)
+    else:
+        blk = lambda x, pv=None: _block_lanes(x, lb0, COL_TILE, pv)
+        blkc = lambda x, pv=None: _block_cols(x, lb0, COL_TILE, ncol_pad, pv)
     logp_t = blkc(jnp.log(0.5 * (plev[:, 1:] + plev[:, :-1])).astype(F32))
     dp_t = blkc((plev[:, 1:] - plev[:, :-1]).astype(F32), 0.0)
     tlay_t = blkc(tlay.astype(F32))
@@ -259,12 +277,16 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     kernel = functools.partial(_sw_kernel, plan=p, vmr_kinds=vmr_kinds,
                                nlay=nlay, lb=lb,
                                n_blk=n_blk, ctile=COL_TILE, wp=P_WINDOW,
-                               wv=V_WINDOW)
+                               wv=V_WINDOW, inblock=INKERNEL_BLOCK)
     nlev = nlay + 1
     n_vp, n_vs = vmrp_t.shape[0], vmrs_t.shape[0]
     rep2 = lambda i: (0, 0)
     rep3c = lambda i: (0, 0, i)
     col2 = lambda i: (0, i)
+    if INKERNEL_BLOCK:
+        lanes_in, lay_rows = COL_TILE, rows_pad
+    else:
+        lanes_in, lay_rows = lb * COL_TILE, n_blk
     out = pl.pallas_call(
         kernel,
         grid=(ncol_pad // COL_TILE,),
@@ -279,17 +301,17 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, 1), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, 1), rep2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blk, lb * COL_TILE), col2,
+            pl.BlockSpec((lay_rows, lanes_in), col2,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blk, lb * COL_TILE), col2,
+            pl.BlockSpec((lay_rows, lanes_in), col2,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blk, lb * COL_TILE), col2,
+            pl.BlockSpec((lay_rows, lanes_in), col2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, COL_TILE), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, COL_TILE), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, COL_TILE), col2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, COL_TILE), col2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_vp, n_blk, lb * COL_TILE), rep3c,
+            pl.BlockSpec((n_vp, lay_rows, lanes_in), rep3c,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_vs, COL_TILE), col2, memory_space=pltpu.VMEM),
         ],
@@ -309,6 +331,10 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             pltpu.VMEM((nlev, ng, COL_TILE), F32),        # albedo per level
             pltpu.VMEM((nlev, ng, COL_TILE), F32),        # src per level
             pltpu.VMEM((n_blk, ng, lb * COL_TILE), F32),  # t_noscat -> denom
+            pltpu.VMEM((n_blk, lb * COL_TILE), F32),      # logp blocked
+            pltpu.VMEM((n_blk, lb * COL_TILE), F32),      # dp blocked
+            pltpu.VMEM((n_blk, lb * COL_TILE), F32),      # tlay blocked
+            pltpu.VMEM((n_vp, n_blk, lb * COL_TILE), F32),  # vmr blocked
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
