@@ -202,6 +202,9 @@ def write_metrics(path, *, ncol: int, seconds: float, args, fluxes,
     }
     if extra:
         m.update(extra)
+    import os
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     with open(path, "w") as f:
         json.dump(m, f, indent=1)
     print(f" Wrote metrics to {path}", file=sys.stderr)

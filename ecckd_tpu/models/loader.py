@@ -33,6 +33,13 @@ from ecckd_tpu.models.ckd import CKDModel
 COMPOSITE = "composite"
 
 
+def _content_hash(a: np.ndarray) -> int:
+    """Deterministic cross-process 64-bit content hash of an array."""
+    import hashlib
+    h = hashlib.blake2b(np.ascontiguousarray(a).tobytes(), digest_size=8)
+    return int.from_bytes(h.digest(), "little")
+
+
 def _read(var) -> np.ndarray:
     """Materialize a scipy netcdf variable as a native-endian numpy array."""
     data = np.asarray(var.data)
@@ -203,6 +210,10 @@ def _build_model(f, dtype) -> CKDModel:
         tables_nonneg=bool(
             min([t.min() for t in dense_tables]
                 + [t.min() for t in lut_tables]) >= 0.0),
-        grid_key=(hash(arr(log_pressure).tobytes()),
-                  hash(arr(temperature_grid).tobytes())),
+        # Content hash (not builtin hash(): that is salted per process via
+        # PYTHONHASHSEED, so the same file loaded in two processes would
+        # carry different static metadata and defeat cross-process
+        # compilation-cache hits on the merged-kernel mergeability check).
+        grid_key=(_content_hash(arr(log_pressure)),
+                  _content_hash(arr(temperature_grid))),
     )

@@ -268,7 +268,14 @@ def fill_lane_blocks(dst, src, n_blk, lb):
     (rows_pad, C) / (n, rows_pad, C) by concatenating ``lb`` consecutive
     row vectors onto the lane axis.  These are cheap VPU (1, C) copies;
     doing the relayout here replaces a strided XLA relayout pass that
-    measured ~10x off HBM speed of light (see lw._rows_t)."""
+    measured ~10x off HBM speed of light (see lw._rows_t).
+
+    Fully Python-unrolled: n_blk*lb copies per array (plus n*n_blk*lb for
+    a stacked vmr input) are emitted once per kernel trace — measured fine
+    at the RFMIP scale (nlay <= 60, ~5 arrays).  For much deeper
+    atmospheres (nlay ~ 137+) this would grow Mosaic compile time and
+    instruction count; switch the outer loop to fori32 then (``b`` only
+    feeds static-stride pl.ds slices, so a traced ``b`` works)."""
     import jax.experimental.pallas as pl
     if len(src.shape) == 3:
         for v in range(src.shape[0]):

@@ -226,25 +226,38 @@ P_WINDOW = int(os.environ.get("ECCKD_PWINDOW", "16"))
 V_WINDOW = int(os.environ.get("ECCKD_VWINDOW", "4"))
 
 
+def _pad_axis(x: jax.Array, axis: int, target: int,
+              pad_value: float | None = None) -> jax.Array:
+    """Pad ``axis`` of ``x`` to extent ``target`` — by edge copy (valid
+    physics: padded rows/columns compute real work and are sliced away)
+    or with ``pad_value`` (e.g. 0 for pressure thickness => tau == 0).
+    The single home of the padding semantics for every relayout below."""
+    n = x.shape[axis]
+    if target == n:
+        return x
+    shape = list(x.shape)
+    shape[axis] = target - n
+    if pad_value is None:
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(-1, None)
+        tail = jnp.broadcast_to(x[tuple(idx)], shape)
+    else:
+        tail = jnp.full(shape, pad_value, x.dtype)
+    return jnp.concatenate([x, tail], axis=axis)
+
+
 def _block_lanes(x: jax.Array, lb: int, col_tile: int,
                  pad_value: float | None = None) -> jax.Array:
     """Re-lay a (..., rows, ncol_pad) array as (..., n_blk, ntiles * lb *
     col_tile): ``lb`` consecutive rows are flattened onto the lane axis of
     each tile's block so in-kernel ops cover lb layers at once (see
-    gas_tau_block).  Rows are padded to a multiple of ``lb`` — by edge
-    copy (valid physics) or with ``pad_value`` (e.g. 0 for pressure
-    thickness => tau == 0).  A leading batch axis (the stacked vmr rows)
-    relayouts in the same single fused XLA pass instead of one per row."""
+    gas_tau_block).  Rows are padded to a multiple of ``lb`` (_pad_axis).
+    A leading batch axis (the stacked vmr rows) relayouts in the same
+    single fused XLA pass instead of one per row."""
     lead = x.shape[:-2]
     rows, ncol_pad = x.shape[-2:]
     n_blk = -(-rows // lb)
-    pad = n_blk * lb - rows
-    if pad:
-        if pad_value is None:
-            tail = jnp.broadcast_to(x[..., -1:, :], lead + (pad, ncol_pad))
-        else:
-            tail = jnp.full(lead + (pad, ncol_pad), pad_value, x.dtype)
-        x = jnp.concatenate([x, tail], axis=-2)
+    x = _pad_axis(x, -2, n_blk * lb, pad_value)
     ntiles = ncol_pad // col_tile
     x = x.reshape(lead + (n_blk, lb, ntiles, col_tile))
     nd = x.ndim
@@ -262,17 +275,8 @@ def _block_cols(x: jax.Array, lb: int, col_tile: int, ncol_pad: int,
     lead = x.shape[:-2]
     ncol, rows = x.shape[-2:]
     n_blk = -(-rows // lb)
-    padr = n_blk * lb - rows
-    if padr:
-        if pad_value is None:
-            tail = jnp.broadcast_to(x[..., -1:], lead + (ncol, padr))
-        else:
-            tail = jnp.full(lead + (ncol, padr), pad_value, x.dtype)
-        x = jnp.concatenate([x, tail], axis=-1)
-    padc = ncol_pad - ncol
-    if padc:
-        cfg = [(0, 0)] * (x.ndim - 2) + [(0, padc), (0, 0)]
-        x = jnp.pad(x, cfg, mode="edge")
+    x = _pad_axis(x, -1, n_blk * lb, pad_value)
+    x = _pad_axis(x, -2, ncol_pad)
     ntiles = ncol_pad // col_tile
     x = x.reshape(lead + (ntiles, col_tile, n_blk, lb))
     nd = x.ndim
@@ -283,19 +287,8 @@ def _block_cols(x: jax.Array, lb: int, col_tile: int, ncol_pad: int,
 
 def _pad_rows(x: jax.Array, rows_pad: int,
               pad_value: float | None = None) -> jax.Array:
-    """Pad the (..., rows, ncol) row axis to ``rows_pad`` — by edge copy
-    (valid physics) or with ``pad_value`` (0 for pressure thickness)."""
-    rows = x.shape[-2]
-    if rows_pad == rows:
-        return x
-    lead = x.shape[:-2]
-    if pad_value is None:
-        tail = jnp.broadcast_to(x[..., -1:, :],
-                                lead + (rows_pad - rows, x.shape[-1]))
-    else:
-        tail = jnp.full(lead + (rows_pad - rows, x.shape[-1]), pad_value,
-                        x.dtype)
-    return jnp.concatenate([x, tail], axis=-2)
+    """Pad the (..., rows, ncol) row axis to ``rows_pad`` (see _pad_axis)."""
+    return _pad_axis(x, -2, rows_pad, pad_value)
 
 
 def _rows_t(x: jax.Array, rows_pad: int, ncol_pad: int,
@@ -313,11 +306,7 @@ def _rows_t(x: jax.Array, rows_pad: int, ncol_pad: int,
 def _pad_cols(x: jax.Array, ncol_pad: int) -> jax.Array:
     """Edge-pad the trailing (column) axis so padded columns hold valid
     physics (no log(0)/NaN) and are simply sliced away afterwards."""
-    pad = ncol_pad - x.shape[-1]
-    if pad == 0:
-        return x
-    cfg = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
-    return jnp.pad(x, cfg, mode="edge")
+    return _pad_axis(x, -1, ncol_pad)
 
 
 def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
@@ -469,11 +458,20 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             pltpu.VMEM((1 if n_gauss_angles == 1 else nlay,
                         ng, ct), F32),                 # src up (3-ang)
             pltpu.VMEM((n_blk_lev, ng, lb * ct), F32),  # planck lev blk
-            pltpu.VMEM((n_blk, lb * ct), F32),          # logp blocked
-            pltpu.VMEM((n_blk, lb * ct), F32),          # dp blocked
-            pltpu.VMEM((n_blk, lb * ct), F32),          # tlay blocked
-            pltpu.VMEM((n_blk_lev, lb * ct), F32),      # tlev blocked
-            pltpu.VMEM((n_vp, n_blk, lb * ct), F32),    # vmr blocked
+            # Blocked-input staging for the in-kernel relayout; 1-row
+            # dummies when ECCKD_INKERNEL_BLOCK=0 (the A/B mode never
+            # touches them — don't carry ~a second copy of every input
+            # block as dead VMEM).
+            pltpu.VMEM((n_blk, lb * ct) if INKERNEL_BLOCK
+                       else (1, ct), F32),              # logp blocked
+            pltpu.VMEM((n_blk, lb * ct) if INKERNEL_BLOCK
+                       else (1, ct), F32),              # dp blocked
+            pltpu.VMEM((n_blk, lb * ct) if INKERNEL_BLOCK
+                       else (1, ct), F32),              # tlay blocked
+            pltpu.VMEM((n_blk_lev, lb * ct) if INKERNEL_BLOCK
+                       else (1, ct), F32),              # tlev blocked
+            pltpu.VMEM((n_vp, n_blk, lb * ct) if INKERNEL_BLOCK
+                       else (1, 1, ct), F32),           # vmr blocked
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),

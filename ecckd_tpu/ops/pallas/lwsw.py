@@ -440,11 +440,18 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
             pltpu.VMEM((nlev, ng_sw, ct), F32),           # albedo/level
             pltpu.VMEM((nlev, ng_sw, ct), F32),           # src/level
             pltpu.VMEM((n_blk, ng_sw, lb * ct), F32),     # t_noscat/denom
-            pltpu.VMEM((n_blk, lb * ct), F32),            # logp blocked
-            pltpu.VMEM((n_blk, lb * ct), F32),            # dp blocked
-            pltpu.VMEM((n_blk, lb * ct), F32),            # tlay blocked
-            pltpu.VMEM((n_blk_lev, lb * ct), F32),        # tlev blocked
-            pltpu.VMEM((n_vp, n_blk, lb * ct), F32),      # vmr blocked
+            # Blocked-input staging (1-row dummies when the in-kernel
+            # relayout is off; see lw.py).
+            pltpu.VMEM((n_blk, lb * ct) if INKERNEL_BLOCK
+                       else (1, ct), F32),                # logp blocked
+            pltpu.VMEM((n_blk, lb * ct) if INKERNEL_BLOCK
+                       else (1, ct), F32),                # dp blocked
+            pltpu.VMEM((n_blk, lb * ct) if INKERNEL_BLOCK
+                       else (1, ct), F32),                # tlay blocked
+            pltpu.VMEM((n_blk_lev, lb * ct) if INKERNEL_BLOCK
+                       else (1, ct), F32),                # tlev blocked
+            pltpu.VMEM((n_vp, n_blk, lb * ct) if INKERNEL_BLOCK
+                       else (1, 1, ct), F32),             # vmr blocked
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),

@@ -254,15 +254,18 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     alb_gpt = jnp.zeros((ng, ncol), F32).at[:model.ngpt].set(alb2d)
 
     ncol_pad = ((ncol + COL_TILE - 1) // COL_TILE) * COL_TILE
-    lb0 = LAYER_BLOCK
-    rows_pad = -(-nlay // lb0) * lb0
+    # Single binding for the layer-block size: rows_pad, the blk/blkc
+    # relayouts, the kernel and the scratch shapes must all agree on it.
+    lb = LAYER_BLOCK
+    n_blk = -(-nlay // lb)
+    rows_pad = n_blk * lb
     if INKERNEL_BLOCK:
         blk = lambda x, pv=None: _pad_cols(_pad_rows(x, rows_pad, pv),
                                            ncol_pad)
         blkc = lambda x, pv=None: _rows_t(x, rows_pad, ncol_pad, pv)
     else:
-        blk = lambda x, pv=None: _block_lanes(x, lb0, COL_TILE, pv)
-        blkc = lambda x, pv=None: _block_cols(x, lb0, COL_TILE, ncol_pad, pv)
+        blk = lambda x, pv=None: _block_lanes(x, lb, COL_TILE, pv)
+        blkc = lambda x, pv=None: _block_cols(x, lb, COL_TILE, ncol_pad, pv)
     logp_t = blkc(jnp.log(0.5 * (plev[:, 1:] + plev[:, :-1])).astype(F32))
     dp_t = blkc((plev[:, 1:] - plev[:, :-1]).astype(F32), 0.0)
     tlay_t = blkc(tlay.astype(F32))
@@ -272,8 +275,6 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     vmrp_t = blk(_pad_cols(vmr_prof, ncol_pad))
     vmrs_t = _pad_cols(vmr_scal, ncol_pad)
 
-    lb = LAYER_BLOCK
-    n_blk = -(-nlay // lb)
     kernel = functools.partial(_sw_kernel, plan=p, vmr_kinds=vmr_kinds,
                                nlay=nlay, lb=lb,
                                n_blk=n_blk, ctile=COL_TILE, wp=P_WINDOW,
@@ -331,10 +332,16 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             pltpu.VMEM((nlev, ng, COL_TILE), F32),        # albedo per level
             pltpu.VMEM((nlev, ng, COL_TILE), F32),        # src per level
             pltpu.VMEM((n_blk, ng, lb * COL_TILE), F32),  # t_noscat -> denom
-            pltpu.VMEM((n_blk, lb * COL_TILE), F32),      # logp blocked
-            pltpu.VMEM((n_blk, lb * COL_TILE), F32),      # dp blocked
-            pltpu.VMEM((n_blk, lb * COL_TILE), F32),      # tlay blocked
-            pltpu.VMEM((n_vp, n_blk, lb * COL_TILE), F32),  # vmr blocked
+            # Blocked-input staging (1-row dummies when the in-kernel
+            # relayout is off; see lw.py).
+            pltpu.VMEM((n_blk, lb * COL_TILE) if INKERNEL_BLOCK
+                       else (1, COL_TILE), F32),          # logp blocked
+            pltpu.VMEM((n_blk, lb * COL_TILE) if INKERNEL_BLOCK
+                       else (1, COL_TILE), F32),          # dp blocked
+            pltpu.VMEM((n_blk, lb * COL_TILE) if INKERNEL_BLOCK
+                       else (1, COL_TILE), F32),          # tlay blocked
+            pltpu.VMEM((n_vp, n_blk, lb * COL_TILE) if INKERNEL_BLOCK
+                       else (1, 1, COL_TILE), F32),       # vmr blocked
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),

@@ -66,15 +66,17 @@ def shard_batch(arrays, mesh: Mesh):
     return placed, ncol
 
 
-def shard_columns_call(fn, mesh: Mesh, args, ncol: int):
+def shard_columns_call(fn, mesh: Mesh, args, ncol: int, batch_leaf=None):
     """Run ``fn(*args)`` as an SPMD program over the columns mesh.
 
-    Every pytree leaf whose leading axis equals ``ncol`` is split over the
-    ``columns`` axis; everything else (lookup tables, scalars) is
-    replicated.  This is the bridge that lets the fused Pallas kernels —
-    which are per-device programs — scale over a pod slice: each device
-    runs the kernel on its column shard, and no collectives are needed
-    because the physics is column-independent.
+    By default every pytree leaf whose leading axis equals ``ncol`` is
+    split over the ``columns`` axis; everything else (lookup tables,
+    scalars) is replicated.  Pass ``batch_leaf`` (leaf -> bool) to mark
+    batch leaves explicitly when a replicated leaf's leading extent could
+    coincide with ``ncol``.  This is the bridge that lets the fused Pallas
+    kernels — which are per-device programs — scale over a pod slice: each
+    device runs the kernel on its column shard, and no collectives are
+    needed because the physics is column-independent.
 
     ``ncol`` must divide the mesh size (see shard_batch / pad_columns).
     Outputs must have a leading column axis.
@@ -84,10 +86,12 @@ def shard_columns_call(fn, mesh: Mesh, args, ncol: int):
     except ImportError:  # pragma: no cover - older JAX
         from jax.experimental.shard_map import shard_map
 
+    if batch_leaf is None:
+        batch_leaf = (lambda x: hasattr(x, "ndim") and x.ndim >= 1
+                      and x.shape[0] == ncol)
+
     def spec_of(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == ncol:
-            return P(COLUMNS)
-        return P()
+        return P(COLUMNS) if batch_leaf(x) else P()
 
     in_specs = jax.tree_util.tree_map(spec_of, args)
     # check_vma off: scan carries built from replicated inputs (e.g. the

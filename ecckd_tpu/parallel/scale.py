@@ -32,18 +32,22 @@ from jax.sharding import Mesh
 from ecckd_tpu.parallel import mesh as pmesh
 
 
-def place_pytree(tree, mesh: Optional[Mesh], ncol: int):
+def place_pytree(tree, mesh: Optional[Mesh], ncol: int, batch_leaf=None):
     """Device-place a pytree: leaves with a leading ``ncol`` axis get column
-    sharding over ``mesh`` (replicated otherwise); no mesh = default device."""
+    sharding over ``mesh`` (replicated otherwise); no mesh = default device.
+    Pass ``batch_leaf`` (leaf -> bool) to mark batch leaves explicitly when
+    a replicated leaf's leading extent could coincide with ``ncol``."""
     if mesh is None or mesh.devices.size == 1:
         return jax.tree_util.tree_map(jax.device_put, tree)
     col = pmesh.column_sharding(mesh)
     rep = pmesh.replicated(mesh)
+    if batch_leaf is None:
+        batch_leaf = (lambda x: getattr(x, "ndim", 0) >= 1
+                      and x.shape[0] == ncol)
 
     def put(x):
         x = np.asarray(x) if not hasattr(x, "dtype") else x
-        is_col = getattr(x, "ndim", 0) >= 1 and x.shape[0] == ncol
-        return jax.device_put(x, col if is_col else rep)
+        return jax.device_put(x, col if batch_leaf(x) else rep)
 
     return jax.tree_util.tree_map(put, tree)
 

@@ -34,7 +34,8 @@ from ecckd_tpu.solvers.lw import rte_lw
 from ecckd_tpu.solvers.sw import rte_sw
 
 
-def map_over_column_chunks(fn, args, ncol: int, chunk: int):
+def map_over_column_chunks(fn, args, ncol: int, chunk: int,
+                           batch_leaf=None):
     """Evaluate ``fn(*args)`` in column chunks of size ``chunk`` via lax.map.
 
     Radiative transfer is embarrassingly parallel over columns but its
@@ -44,19 +45,23 @@ def map_over_column_chunks(fn, args, ncol: int, chunk: int):
     at O(chunk) while the sequential chunk loop keeps the chip busy — the
     standard microbatching pattern.
 
-    Every pytree leaf of ``args`` whose leading axis equals ``ncol`` is
-    mapped; everything else (scalars, tables) is closed over.  ``ncol`` must
-    be divisible by ``chunk`` (callers pad; see parallel.mesh.shard_batch).
+    By default every pytree leaf of ``args`` whose leading axis equals
+    ``ncol`` is mapped; everything else (scalars, tables) is closed over.
+    Pass ``batch_leaf`` (leaf -> bool) to identify batch leaves explicitly
+    when a non-batch leaf's leading extent could coincide with ``ncol``.
+    ``ncol`` must be divisible by ``chunk`` (callers pad; see
+    parallel.mesh.shard_batch).
     """
     if ncol <= chunk:
         return fn(*args)
     if ncol % chunk:
         raise ValueError(f"ncol={ncol} not divisible by chunk={chunk}")
+    if batch_leaf is None:
+        batch_leaf = (lambda x: hasattr(x, "ndim") and x.ndim >= 1
+                      and x.shape[0] == ncol)
     n_chunks = ncol // chunk
     flat, treedef = jax.tree_util.tree_flatten(args)
-    mapped_idx = [i for i, x in enumerate(flat)
-                  if hasattr(x, "ndim") and x.ndim >= 1
-                  and x.shape[0] == ncol]
+    mapped_idx = [i for i, x in enumerate(flat) if batch_leaf(x)]
     mapped = [flat[i].reshape(n_chunks, chunk, *flat[i].shape[1:])
               for i in mapped_idx]
 
@@ -106,7 +111,8 @@ def lw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
               gas_concs: GasConcs, n_gauss_angles: int = 1,
               top_at_1: bool = True,
               column_chunk: int | None = None,
-              backend: str = "auto") -> FluxesBroadband:
+              backend: str = "auto",
+              logarithmic_interpolation: bool = False) -> FluxesBroadband:
     """Longwave broadband fluxes for a column batch.
 
     Args:
@@ -118,8 +124,19 @@ def lw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
         on the XLA path (see map_over_column_chunks); the fused kernel
         bounds its own memory and ignores it.
       backend: "auto" | "fused" (Pallas mega-kernel) | "xla".
+      logarithmic_interpolation: the reference's alternate log-space table
+        interpolation (live API, never selected by its drivers,
+        gas_optics_ecckd.f90:368).  Only the XLA path implements it, so it
+        is routed there explicitly; requesting backend="fused" with it is
+        an error.
     """
     dtype = jnp.asarray(tlay).dtype
+    if logarithmic_interpolation:
+        if backend == "fused":
+            raise ValueError("logarithmic_interpolation is not supported "
+                             "by the fused kernels; use backend='auto' or "
+                             "'xla'")
+        backend = "xla"
     if _use_fused(model, dtype, backend, top_at_1):
         from ecckd_tpu.ops.pallas.lw import lw_fluxes_fused
         emis_gpt = _surface_to_gpt(model, sfc_emis, tlay.shape[0], dtype)
@@ -129,11 +146,14 @@ def lw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     if column_chunk is not None and tlay.shape[0] > column_chunk:
         fn = lambda p, tl, tv, ts, e, c: lw_fluxes(
             model, p, tl, tv, ts, e, c, n_gauss_angles=n_gauss_angles,
-            top_at_1=top_at_1, backend="xla")
+            top_at_1=top_at_1, backend="xla",
+            logarithmic_interpolation=logarithmic_interpolation)
         return map_over_column_chunks(
             fn, (plev, tlay, tlev, tsfc, sfc_emis, gas_concs),
             tlay.shape[0], column_chunk)
-    props, sources = gas_optics_lw(model, plev, tlay, tsfc, gas_concs, tlev)
+    props, sources = gas_optics_lw(
+        model, plev, tlay, tsfc, gas_concs, tlev,
+        logarithmic_interpolation=logarithmic_interpolation)
     emis_gpt = _surface_to_gpt(model, sfc_emis, tlay.shape[0],
                                props.tau.dtype)
     flux_up, flux_dn = rte_lw(props, sources, emis_gpt, top_at_1=top_at_1,
@@ -145,7 +165,8 @@ def sw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
               gas_concs: GasConcs, sfc_alb: jax.Array, tsi: jax.Array,
               sza_deg: jax.Array, top_at_1: bool = True,
               column_chunk: int | None = None,
-              backend: str = "auto") -> FluxesBroadband:
+              backend: str = "auto",
+              logarithmic_interpolation: bool = False) -> FluxesBroadband:
     """Shortwave broadband fluxes for a column batch.
 
     Args:
@@ -157,8 +178,16 @@ def sw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
       column_chunk: optional microbatch size bounding peak device memory
         on the XLA path; the fused kernel bounds its own memory.
       backend: "auto" | "fused" (Pallas mega-kernel) | "xla".
+      logarithmic_interpolation: XLA-path-only alternate interpolation;
+        routed to the XLA path explicitly (see lw_fluxes).
     """
     dtype_in = jnp.asarray(tlay).dtype
+    if logarithmic_interpolation:
+        if backend == "fused":
+            raise ValueError("logarithmic_interpolation is not supported "
+                             "by the fused kernels; use backend='auto' or "
+                             "'xla'")
+        backend = "xla"
     if _use_fused(model, dtype_in, backend, top_at_1):
         from ecckd_tpu.ops.pallas.sw import sw_fluxes_fused
         alb = jnp.asarray(sfc_alb, dtype_in)
@@ -169,11 +198,14 @@ def sw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
         return FluxesBroadband(flux_up=up, flux_dn=dn)
     if column_chunk is not None and tlay.shape[0] > column_chunk:
         fn = lambda p, tl, c, a, t, s: sw_fluxes(
-            model, p, tl, c, a, t, s, top_at_1=top_at_1, backend="xla")
+            model, p, tl, c, a, t, s, top_at_1=top_at_1, backend="xla",
+            logarithmic_interpolation=logarithmic_interpolation)
         return map_over_column_chunks(
             fn, (plev, tlay, gas_concs, sfc_alb, tsi, sza_deg),
             tlay.shape[0], column_chunk)
-    props, toa_src = gas_optics_sw(model, plev, tlay, gas_concs)
+    props, toa_src = gas_optics_sw(
+        model, plev, tlay, gas_concs,
+        logarithmic_interpolation=logarithmic_interpolation)
     dtype = props.tau.dtype
 
     # Renormalize the incoming solar flux to the requested TSI.

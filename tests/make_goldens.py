@@ -55,7 +55,8 @@ def main():
 
     for tag, path, angles in [("lw_fsck_1ang", LW_FSCK, 1),
                               ("lw_fsck_3ang", LW_FSCK, 3),
-                              ("lw_rrtmgp_1ang", LW_RRTMGP, 1)]:
+                              ("lw_rrtmgp_1ang", LW_RRTMGP, 1),
+                              ("lw_rrtmgp_3ang", LW_RRTMGP, 3)]:
         model = load_ckd_model(path, dtype=np.float64)
         f = lw_fluxes(model, atm["plev"], atm["tlay"], atm["tlev"],
                       atm["tsfc"], emis, concs, n_gauss_angles=angles,

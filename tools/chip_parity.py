@@ -1,0 +1,259 @@
+"""On-chip fused-vs-XLA parity gate.
+
+Runs, on the REAL TPU chip, the fused Pallas mega-kernels against the XLA
+reference path evaluated on the host CPU backend — the deterministic anchor
+(on-chip XLA-f32 itself drifts ~8e-5 through MXU-lowered einsums; see
+.claude/skills/verify/SKILL.md).  This is the hardware-level complement of
+tests/test_pallas_fused.py: interpret mode validates indexing semantics but
+cannot catch Mosaic lowering / BlockSpec bugs that only manifest on the
+chip (docs/DESIGN.md "Hard-won correctness notes").
+
+Coverage per run (all on ONE adversarial heterogeneous batch, multi-tile
+for both the 128- and 256-column tilings):
+  * all three shipped ckd files (LW fsck, LW rrtmgp-band, SW wide),
+  * LW at 1 and 3 Gauss angles (physics index 1 and 2),
+  * the merged LW+SW mega-kernel,
+  * both MXU precision modes (bf16x3 exact, bf16 fast) — each mode runs in
+    its own subprocess because the mode is latched at first kernel trace.
+
+The batch deliberately triggers every dynamic-window fallback at once:
+per-column surface pressures spanning 270 Pa..1.05e5 Pa (pressure window),
+per-(column, layer) h2o over 5 decades (mole-fraction window), layer/level
+temperatures from 100 K to 360 K including below-Planck-grid and above-grid
+(Planck window + extrapolation paths), ch4 below its reference mole
+fraction (negative-weight clamp), an unknown gas (silent skip), and
+day / grazing / night solar zenith angles.
+
+Usage:
+  python tools/chip_parity.py [--out PARITY_CHIP.json] [--ncol N]
+Exit status 0 iff every case is inside its mode's bound.
+
+Reference spec being checked on hardware:
+/root/reference/src/gas_optics_ecckd.f90:64-241 (optical depth),
+:245-289 (Planck), :293-319 (Rayleigh) + the rte_lw/rte_sw semantics of
+SURVEY.md section 2.3.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+LW_FSCK = ("/root/reference/data/"
+           "ecckd-1.2_lw_ckd-definition_climate_fsck-tol0.0161.nc")
+LW_RRTMGP = ("/root/reference/data/"
+             "ecckd-1.2_lw_ckd-definition_climate_rrtmgp-tol0.061.nc")
+SW_WIDE = ("/root/reference/data/"
+           "ecckd-1.2_sw_ckd-definition_climate_wide-tol0.05.nc")
+
+# Per-mode bounds on max|fused - xla_cpu| / max|xla_cpu| over both flux
+# arrays.  bf16x3 is the accuracy-faithful mode (~2e-5 documented, verify
+# skill); bf16 is the documented ~1e-4 fast mode.  Bounds are ~2.5x the
+# measured worst case on this batch to stay insensitive to roundoff drift
+# while still catching any real indexing/lowering bug (those are >>1e-2).
+BOUNDS = {"bf16x3": 5.0e-5, "bf16": 5.0e-4}
+
+
+def adversarial_batch(ncol: int, nlay: int):
+    """Heterogeneous multi-tile batch hitting every kernel edge case."""
+    rng = np.random.default_rng(2024)
+    f32 = np.float32
+    # Whole columns at different pressure decades: at any layer index the
+    # across-tile pressure spread covers most of the 53-point table grid,
+    # forcing the pressure-window fallback.
+    p_sfc = np.logspace(np.log10(270.0), np.log10(1.05e5), ncol)
+    rng.shuffle(p_sfc)
+    p_top = 10.0 ** rng.uniform(np.log10(0.8), np.log10(4.0), ncol)
+    plev = np.stack([np.logspace(np.log10(t), np.log10(s), nlay + 1)
+                     for t, s in zip(p_top, p_sfc)]).astype(f32)
+    logp = np.log(0.5 * (plev[:, 1:] + plev[:, :-1]))
+    tlay = (288.0 - 55.0 * np.exp(-((logp - np.log(1.5e4)) ** 2) / 4.0)
+            + 3.0 * rng.standard_normal((ncol, nlay)))
+    tlev = (288.0 - 55.0 * np.exp(-((np.log(plev) - np.log(1.5e4)) ** 2)
+                                  / 4.0)
+            + 3.0 * rng.standard_normal((ncol, nlay + 1)))
+    # Every 8th column: temperatures spanning past both Planck-grid ends
+    # (120..350 K table) -> below-grid linear scaling + top extrapolation
+    # + the windowed-Planck fallback inside a tile.
+    extreme = np.arange(ncol) % 8 == 3
+    tlay[extreme] = rng.uniform(100.0, 360.0, (int(extreme.sum()), nlay))
+    tlev[extreme] = rng.uniform(100.0, 360.0, (int(extreme.sum()), nlay + 1))
+    tsfc = rng.uniform(110.0, 355.0, ncol)
+    # h2o over 5 decades per (column, layer): mole-fraction window fallback
+    # + vmr floor at the LUT grid origin in some cells.
+    h2o = 10.0 ** rng.uniform(-6.8, -1.5, (ncol, nlay))
+    o3 = 10.0 ** rng.uniform(-8.0, -5.2, (ncol, nlay))
+    from ecckd_tpu.gases import GasConcs
+    concs = GasConcs.create([
+        ("co2", np.full(ncol, 4.0e-4, f32)),
+        # below the 1.921e-6 reference mole fraction: negative-weight clamp
+        ("ch4", np.full(ncol, 1.2e-6, f32)),
+        ("n2o", np.full(ncol, 3.3e-7, f32)),
+        ("o2", np.full(ncol, 0.2095, f32)),
+        ("cfc11", np.full(ncol, 2.0e-10, f32)),
+        ("cfc12", np.full(ncol, 5.0e-10, f32)),
+        ("h2o", h2o.astype(f32)), ("o3", o3.astype(f32)),
+        ("no2", np.full(ncol, 1.0e-9, f32)),  # unknown gas: silent skip
+    ])
+    return dict(plev=plev.astype(f32), tlay=tlay.astype(f32),
+                tlev=tlev.astype(f32), tsfc=tsfc.astype(f32),
+                emis=np.linspace(0.7, 1.0, ncol).astype(f32),
+                alb=np.linspace(0.02, 0.9, ncol).astype(f32),
+                tsi=np.full(ncol, 1361.0, f32),
+                sza=np.linspace(0.0, 120.0, ncol).astype(f32),
+                concs=concs)
+
+
+def _max_rel(got, ref_up, ref_dn):
+    up, dn = (np.asarray(x) for x in got)
+    ref_up, ref_dn = np.asarray(ref_up), np.asarray(ref_dn)
+    scale = max(np.abs(ref_up).max(), np.abs(ref_dn).max())
+    err = max(np.abs(up - ref_up).max(), np.abs(dn - ref_dn).max())
+    return float(err / scale), float(scale)
+
+
+def run_worker(mode: str, ncol: int, nlay: int) -> dict:
+    assert os.environ.get("ECCKD_MXU_PRECISION") == mode, (
+        "worker must be spawned with ECCKD_MXU_PRECISION set "
+        "(the mode is latched at first kernel trace)")
+    import jax
+    from ecckd_tpu.cli.common import setup_compilation_cache
+    setup_compilation_cache()
+    assert jax.default_backend() != "cpu", (
+        f"chip parity needs the real TPU; default backend is "
+        f"{jax.default_backend()}")
+    cpu = jax.devices("cpu")[0]
+
+    from ecckd_tpu.models.loader import load_ckd_model
+    from ecckd_tpu.pipeline import lw_fluxes, lw_sw_fluxes, sw_fluxes
+
+    b = adversarial_batch(ncol, nlay)
+    concs = b["concs"]
+    models = {name: load_ckd_model(path, dtype=np.dtype(np.float32))
+              for name, path in (("fsck", LW_FSCK), ("rrtmgp", LW_RRTMGP),
+                                 ("wide", SW_WIDE))}
+    cases = {}
+
+    def record(name, fused, ref):
+        rel, scale = _max_rel(fused, ref.flux_up, ref.flux_dn)
+        cases[name] = {"max_rel": rel, "flux_scale": round(scale, 3)}
+        print(f"  [{mode}] {name}: max_rel={rel:.3e}", file=sys.stderr)
+
+    for lw_name in ("fsck", "rrtmgp"):
+        m = models[lw_name]
+        for ang in (1, 3):
+            with jax.default_device(cpu):
+                ref = lw_fluxes(m, b["plev"], b["tlay"], b["tlev"],
+                                b["tsfc"], b["emis"], concs,
+                                n_gauss_angles=ang, backend="xla")
+                ref = jax.tree_util.tree_map(np.asarray, ref)
+            got = lw_fluxes(m, b["plev"], b["tlay"], b["tlev"], b["tsfc"],
+                            b["emis"], concs, n_gauss_angles=ang,
+                            backend="fused")
+            record(f"lw_{lw_name}_angles{ang}", (got.flux_up, got.flux_dn),
+                   ref)
+
+    with jax.default_device(cpu):
+        ref = sw_fluxes(models["wide"], b["plev"], b["tlay"], concs,
+                        b["alb"], b["tsi"], b["sza"], backend="xla")
+        ref = jax.tree_util.tree_map(np.asarray, ref)
+    got = sw_fluxes(models["wide"], b["plev"], b["tlay"], concs, b["alb"],
+                    b["tsi"], b["sza"], backend="fused")
+    record("sw_wide", (got.flux_up, got.flux_dn), ref)
+
+    # Merged LW+SW mega-kernel (the bench path) vs the separate CPU refs.
+    with jax.default_device(cpu):
+        ref_lw, ref_sw = lw_sw_fluxes(
+            models["fsck"], models["wide"], b["plev"], b["tlay"], b["tlev"],
+            b["tsfc"], b["emis"], concs, b["alb"], b["tsi"], b["sza"],
+            n_gauss_angles=1, backend="xla")
+        ref_lw = jax.tree_util.tree_map(np.asarray, ref_lw)
+        ref_sw = jax.tree_util.tree_map(np.asarray, ref_sw)
+    got_lw, got_sw = lw_sw_fluxes(
+        models["fsck"], models["wide"], b["plev"], b["tlay"], b["tlev"],
+        b["tsfc"], b["emis"], concs, b["alb"], b["tsi"], b["sza"],
+        n_gauss_angles=1)
+    record("lwsw_merged_lw", (got_lw.flux_up, got_lw.flux_dn), ref_lw)
+    record("lwsw_merged_sw", (got_sw.flux_up, got_sw.flux_dn), ref_sw)
+
+    bound = BOUNDS[mode]
+    worst = max(c["max_rel"] for c in cases.values())
+    return {"mode": mode, "bound": bound, "worst_max_rel": worst,
+            "pass": bool(worst <= bound), "cases": cases,
+            "device": str(jax.devices()[0])}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tools/chip_parity.py")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PARITY_CHIP.json"))
+    ap.add_argument("--ncol", type=int, default=549,
+                    help="multi-tile: > 2x the 256-column LW tile, "
+                         "non-multiple so the padded tail is exercised")
+    ap.add_argument("--nlay", type=int, default=60)
+    ap.add_argument("--modes", default="bf16x3,bf16")
+    ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--mode", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args(argv)
+
+    if args.worker:
+        result = run_worker(args.mode, args.ncol, args.nlay)
+        print("PARITY_RESULT " + json.dumps(result))
+        return 0 if result["pass"] else 1
+
+    results = {}
+    ok = True
+    for mode in args.modes.split(","):
+        env = dict(os.environ, ECCKD_MXU_PRECISION=mode)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--mode", mode, "--ncol", str(args.ncol),
+             "--nlay", str(args.nlay)],
+            env=env, capture_output=True, text=True, timeout=3000)
+        sys.stderr.write(proc.stderr)
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("PARITY_RESULT ")), None)
+        if line is None:
+            print(f"FAIL: {mode} worker produced no result "
+                  f"(exit {proc.returncode})\n{proc.stdout[-2000:]}",
+                  file=sys.stderr)
+            results[mode] = {"mode": mode, "pass": False,
+                             "error": proc.stdout[-2000:]
+                             + proc.stderr[-2000:]}
+            ok = False
+            continue
+        results[mode] = json.loads(line[len("PARITY_RESULT "):])
+        ok = ok and results[mode]["pass"]
+
+    import datetime
+    out = {
+        "generated_by": "tools/chip_parity.py",
+        "date": datetime.date.today().isoformat(),
+        "ncol": args.ncol, "nlay": args.nlay,
+        "reference_anchor": "XLA path on host CPU backend, float32",
+        "pass": ok,
+        "modes": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    status = "PASS" if ok else "FAIL"
+    print(f"chip parity: {status} -> {args.out}")
+    for mode, r in results.items():
+        if "worst_max_rel" in r:
+            print(f"  {mode}: worst max_rel {r['worst_max_rel']:.3e} "
+                  f"(bound {r['bound']:.1e}) over {len(r['cases'])} cases")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
