@@ -31,6 +31,8 @@ CPU_SERIAL_BASELINE_COLS_PER_SEC = float(
 
 LW_FILE = ("/root/reference/data/"
            "ecckd-1.2_lw_ckd-definition_climate_fsck-tol0.0161.nc")
+LW_RRTMGP_FILE = ("/root/reference/data/"
+                  "ecckd-1.2_lw_ckd-definition_climate_rrtmgp-tol0.061.nc")
 SW_FILE = ("/root/reference/data/"
            "ecckd-1.2_sw_ckd-definition_climate_wide-tol0.05.nc")
 
@@ -38,6 +40,141 @@ SW_FILE = ("/root/reference/data/"
 def _build(ncol, nlay, dtype):
     from __graft_entry__ import _example_batch
     return _example_batch(ncol, nlay, dtype)
+
+
+def _time_steps(step, iters: int, warmup: int) -> float:
+    """Batched-dispatch seconds/step (see module docstring timing rules)."""
+    import time as _t
+    for _ in range(warmup):
+        float(step())
+    t0 = _t.perf_counter()
+    acc = step()
+    for _ in range(iters - 1):
+        acc = acc + step()
+    float(acc)  # device->host fetch: the reliable completion barrier
+    return (_t.perf_counter() - t0) / iters
+
+
+def run_configs(ncol: int = 65536) -> None:
+    """Per-config throughput for the BASELINE.json configs with committed
+    perf coverage (VERDICT round 1, item 4): the headline merged LW+SW
+    solve, the bigger rrtmgp-band LW file (36 gpt / 16 bands — stresses
+    the pressure window and sublane padding), and 3-angle LW (the
+    reference's physics index 2, ecckd_rfmip_lw.F90:40-44).  Writes
+    BENCH_CONFIGS.json and prints it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ecckd_tpu.cli.common import setup_compilation_cache
+    from ecckd_tpu.models.loader import load_ckd_model
+    from ecckd_tpu.pipeline import lw_fluxes, lw_sw_fluxes
+
+    setup_compilation_cache()
+    nlay = 60
+    dtype = np.dtype("float32")
+    lw = jax.device_put(load_ckd_model(LW_FILE, dtype=dtype))
+    lwr = jax.device_put(load_ckd_model(LW_RRTMGP_FILE, dtype=dtype))
+    sw = jax.device_put(load_ckd_model(SW_FILE, dtype=dtype))
+    b = _build(ncol, nlay, dtype)
+    args = {k: jax.device_put(v) for k, v in b.items()}
+
+    merged = jax.jit(
+        lambda ml, ms, plev, tlay, tlev, tsfc, emis, concs, alb, tsi, sza:
+        lw_sw_fluxes(ml, ms, plev, tlay, tlev, tsfc, emis, concs, alb,
+                     tsi, sza, n_gauss_angles=1))
+    lw_only = jax.jit(
+        lambda m, plev, tlay, tlev, tsfc, emis, concs, n:
+        lw_fluxes(m, plev, tlay, tlev, tsfc, emis, concs,
+                  n_gauss_angles=n), static_argnums=7)
+
+    def merged_step(ml, ms):
+        def step():
+            f1, f2 = merged(ml, ms, args["plev"], args["tlay"],
+                            args["tlev"], args["tsfc"], args["emis"],
+                            args["concs"], args["alb"], args["tsi"],
+                            args["sza"])
+            return jnp.sum(f1.flux_up[:, 0]) + jnp.sum(f2.flux_up[:, 0])
+        return step
+
+    def lw_step(m, n_angles):
+        def step():
+            f = lw_only(m, args["plev"], args["tlay"], args["tlev"],
+                        args["tsfc"], args["emis"], args["concs"], n_angles)
+            return jnp.sum(f.flux_up[:, 0])
+        return step
+
+    cases = {
+        "lw_fsck+sw_wide_1ang": merged_step(lw, sw),
+        "lw_rrtmgp+sw_wide_1ang": merged_step(lwr, sw),
+        "lw_fsck_3ang": lw_step(lw, 3),
+        "lw_rrtmgp_1ang": lw_step(lwr, 1),
+        "lw_rrtmgp_3ang": lw_step(lwr, 3),
+    }
+    results = {}
+    for name, step in cases.items():
+        dt = _time_steps(step, iters=20, warmup=2)
+        results[name] = round(ncol / dt, 1)
+        print(f"# {name}: {results[name]:,.0f} columns/s/chip",
+              file=sys.stderr)
+    out = {"ncol": ncol, "nlay": nlay, "unit": "columns/s/chip",
+           "mxu_precision": os.environ.get("ECCKD_MXU_PRECISION",
+                                           "bf16x3"),
+           "configs": results}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_CONFIGS.json"), "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps(out))
+
+
+def _parity_gate() -> None:
+    """Fused-vs-CPU-XLA correctness gate run before timing (skip with
+    ECCKD_BENCH_PARITY=0).  A throughput number from a kernel producing
+    wrong fluxes is worse than no number: interpret-mode tests cannot see
+    Mosaic lowering/BlockSpec bugs (docs/DESIGN.md), so the bench checks
+    the exact path it times, on the chip, against the CPU-XLA anchor on a
+    small heterogeneous multi-tile batch (tools/chip_parity.py's batch)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    import chip_parity
+    import jax
+    import numpy as np
+    from ecckd_tpu.models.loader import load_ckd_model
+    from ecckd_tpu.pipeline import lw_sw_fluxes
+
+    mode = os.environ.get("ECCKD_MXU_PRECISION", "bf16x3")
+    bound = chip_parity.BOUNDS.get(mode, 5.0e-4)
+    b = chip_parity.adversarial_batch(ncol=293, nlay=60)
+    lw = load_ckd_model(LW_FILE, dtype=np.dtype(np.float32))
+    sw = load_ckd_model(SW_FILE, dtype=np.dtype(np.float32))
+    args = (b["plev"], b["tlay"], b["tlev"], b["tsfc"], b["emis"],
+            b["concs"], b["alb"], b["tsi"], b["sza"])
+    # Both legs jitted: unjitted, every prep op dispatches individually
+    # over the tunneled-chip transport (~10 ms each); jitted, the persistent
+    # compilation cache makes the gate a one-time cost per code change.
+    with jax.default_device(jax.devices("cpu")[0]):
+        ref_fn = jax.jit(lambda ml, ms, *a: lw_sw_fluxes(
+            ml, ms, *a, n_gauss_angles=1, backend="xla"))
+        ref_lw, ref_sw = ref_fn(lw, sw, *args)
+        ref_lw = jax.tree_util.tree_map(np.asarray, ref_lw)
+        ref_sw = jax.tree_util.tree_map(np.asarray, ref_sw)
+    got_lw, got_sw = jax.jit(lambda ml, ms, *a: lw_sw_fluxes(
+        ml, ms, *a, n_gauss_angles=1))(lw, sw, *args)
+    worst = 0.0
+    for got, ref in ((got_lw, ref_lw), (got_sw, ref_sw)):
+        rel, _ = chip_parity._max_rel((got.flux_up, got.flux_dn),
+                                      ref.flux_up, ref.flux_dn)
+        worst = max(worst, rel)
+    if worst > bound:
+        print(json.dumps({"metric": "rfmip_lw+sw_flux_solve_throughput",
+                          "value": 0.0, "unit": "columns/s/chip",
+                          "vs_baseline": 0.0, "parity_ok": False,
+                          "parity_max_rel": worst}))
+        print(f"bench parity gate FAILED: max_rel {worst:.3e} > "
+              f"bound {bound:.1e} ({mode})", file=sys.stderr)
+        raise SystemExit(1)
+    print(f"# bench parity gate OK: max_rel {worst:.3e} <= {bound:.1e} "
+          f"({mode})", file=sys.stderr)
 
 
 def run_bench(mode: str) -> None:
@@ -61,6 +198,8 @@ def run_bench(mode: str) -> None:
         dtype_name = "float32"
         ncol = int(os.environ.get("ECCKD_BENCH_NCOL", "65536"))
         iters, warmup = 20, 2
+        if os.environ.get("ECCKD_BENCH_PARITY", "1") != "0":
+            _parity_gate()
 
     import numpy as np
     dtype = np.dtype(dtype_name)
@@ -127,4 +266,8 @@ def run_bench(mode: str) -> None:
 
 
 if __name__ == "__main__":
-    run_bench(os.environ.get("ECCKD_BENCH_MODE", "tpu"))
+    _mode = os.environ.get("ECCKD_BENCH_MODE", "tpu")
+    if _mode == "configs":
+        run_configs(int(os.environ.get("ECCKD_BENCH_NCOL", "65536")))
+    else:
+        run_bench(_mode)

@@ -102,16 +102,31 @@ def exp_accurate(x: jax.Array) -> jax.Array:
 
 def expm1_accurate(x: jax.Array) -> jax.Array:
     """float32 expm1 inside a Mosaic kernel: exp(x) - 1 without the
-    catastrophic cancellation at |x| << 1 (where exp(x) ~ 1).  For
-    |x| < 1/16 a degree-5 Taylor series is exact to < 0.5 ulp
-    (truncation x^5/720 relative to x -> ~2e-8 at the branch point);
-    elsewhere the subtraction is benign."""
-    p = F32(1.0 / 120.0)
-    for c in (1.0 / 24.0, 1.0 / 6.0, 0.5, 1.0):
-        p = p * x + F32(c)
-    small = x * p
-    return jnp.where(jnp.abs(x) < F32(1.0 / 16.0), small,
-                     exp_accurate(x) - F32(1.0))
+    catastrophic cancellation at |x| << 1 (where exp(x) ~ 1).
+
+    Single-polynomial form sharing exp_accurate's range reduction: with
+    n = round(x log2 e) and r the two-part-ln2 remainder, the degree-6
+    polynomial is evaluated structured as exp(r) = 1 + r + r^2 q(r), so
+      n == 0  ->  expm1 = r + r^2 q(r)        (r == x exactly; no 1-
+                  cancellation; truncation < x^6/5040 relative)
+      n != 0  ->  expm1 = 2^n (1 + r + r^2 q) - 1   (|result| >= 0.29:
+                  the subtraction is benign)
+    ~30% fewer VPU ops than the previous separate small-branch Taylor +
+    full exp_accurate evaluation, same ~2-3 ulp accuracy class at the
+    branch boundary."""
+    n = jnp.floor(x * F32(_LOG2E) + F32(0.5))
+    nc = jnp.clip(n, F32(-126.0), F32(127.0))
+    r = (x - nc * F32(_LN2_HI)) - nc * F32(_LN2_LO)
+    q = F32(1.0 / 720.0)
+    for c in (1.0 / 120.0, 1.0 / 24.0, 1.0 / 6.0, 0.5):
+        q = q * r + F32(c)
+    small = r + (r * r) * q                  # expm1(r), cancellation-free
+    scale = pltpu_bitcast((nc.astype(jnp.int32) + 127) << 23, F32)
+    big = scale * (small + F32(1.0)) - F32(1.0)
+    out = jnp.where(nc == F32(0.0), small, big)
+    # x << -87: the clipped remainder r is huge and the polynomial can
+    # overflow before the denormal scale shrinks it; pin the exact limit.
+    return jnp.where(x < F32(-87.0), F32(-1.0), out)
 
 
 def pltpu_bitcast(x, dtype):
@@ -239,6 +254,67 @@ def matmul_f32_t(a: jax.Array, b: jax.Array) -> jax.Array:
         x, y, dimension_numbers=dn, precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=F32)
     return dot(a_hi, b_hi) + (dot(a_lo, b_hi) + dot(a_hi, b_lo))
+
+
+def two_stream_g0(tau: jax.Array, u: jax.Array, mu0: jax.Array,
+                  inv_mu0: jax.Array):
+    """g = 0 two-stream layer coefficients (Meador-Weaver/PIFM specialized
+    to pure Rayleigh + absorption, gas_optics_ecckd.f90:461 sets g = 0),
+    in the cancellation-free complement forms of solvers/two_stream.py and
+    RESCALED by tau so the ssa = u/tau divide disappears — per layer block
+    only ONE reciprocal remains (VPU divides are the costliest ops here).
+
+    With u = tau_ray (u <= tau):
+      tau*gamma1 = 2 tau - 1.25 u = G1,   tau*gamma2 = 0.75 u,
+      tau*alpha  = tau - 0.25 u  = AL,    (k tau)^2 = (tau-u)(4 tau-u),
+      tau*a_term = ktau (1+e^2) + G1 m1 = A,
+      tau^2*denom = tau^2 - (ktau mu0)^2 = D,
+    and every output is an exact regrouping in A, D, ktau:
+      r_dif = 0.75 u m1 / A,          t_dif = 2 ktau e / A,
+      r_dir = u [AL (tau m1 - km q) + (ktau/2)(tau q - km m1)] / (A D),
+      t_dir = -u [AL (tau t m1 + km s) + (ktau/2)(tau s + km t m1)] / (A D)
+    (km = ktau mu0; q, s as in the unscaled form).
+
+    tau is floored at 1e-8 INSIDE the scattering algebra only (A ~ tau at
+    tau -> 0, so A*D would underflow to 0 and poison 0*inf -> NaN on
+    zero-thickness padded rows); the direct transmission t uses the true
+    tau.  A 1e-8 layer is transparent to ~1e-8, far below the fused-path
+    tolerance.  Returns (r_dif, t_dif, r_dir, t_dir, t_noscat).
+    """
+    import numpy as np
+    eps = F32(float(np.finfo(np.float32).eps))
+    taus = jnp.maximum(tau, F32(1e-8))
+    ktau = jnp.sqrt(jnp.maximum((taus - u) * (4.0 * taus - u),
+                                F32(1e-12) * (taus * taus)))
+    em1 = -expm1_accurate(-ktau)
+    m1 = em1 * (2.0 - em1)                    # 1 - e^2
+    e = 1.0 - em1                             # e^-ktau
+    e2 = 1.0 - m1                             # e^-2ktau
+    tm1 = -expm1_accurate(-tau * inv_mu0)     # 1 - t, TRUE tau
+    t = 1.0 - tm1
+    km = ktau * mu0
+    tau2 = taus * taus
+    d = tau2 - km * km
+    d = jnp.where(jnp.abs(d) >= eps * tau2, d, eps * tau2)
+    g1t = 2.0 * taus - 1.25 * u
+    al = taus - 0.25 * u
+    a = ktau * (1.0 + e2) + g1t * m1
+    p = 1.0 / (a * d)                         # the one divide
+    inv_a = d * p
+    r_dif = (0.75 * u) * m1 * inv_a
+    t_dif = (2.0 * ktau) * e * inv_a
+    q = em1 * em1 + (2.0 * e) * tm1
+    s = em1 * em1 - tm1 * (1.0 + e2)
+    u_p = u * p
+    half_kt = 0.5 * ktau
+    t_m1 = t * m1
+    r_dir = u_p * (al * (taus * m1 - km * q)
+                   + half_kt * (taus * q - km * m1))
+    t_dir = -u_p * (al * (taus * t_m1 + km * s)
+                    + half_kt * (taus * s + km * t_m1))
+    r_dir = jnp.clip(r_dir, F32(0.0), 1.0 - t)
+    t_dir = jnp.clip(t_dir, F32(0.0), 1.0 - t - r_dir)
+    return r_dif, t_dif, r_dir, t_dir, t
 
 
 def pressure_temperature_index(log_p, t_lay, t_first_ref, log_p0, inv_dlogp,
@@ -526,6 +602,34 @@ def gas_tau_block(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
     return taus[0], d_p
 
 
+def planck_matmul_t(a_hi, a_lo, b):
+    """Planck-table contraction (dim0 x dim0), ALWAYS ~f32-accurate.
+
+    The bf16 FAST mode's 1-pass trade is safe for the gas-optics
+    contraction (~6e-4 in tau -> ~1e-4 in flux) but NOT for the Planck
+    interpolation: the LW linear-in-tau source differences adjacent
+    Planck values (play - lev_source), which differ by only ~1% of B, so
+    a bf16-rounded table (2e-3 absolute) is a ~20% error on the source
+    gradient — measured 1.3e-2 relative LW flux error on the chip-parity
+    batch, 50x the fast-mode contract.  So the Planck contraction keeps
+    the 3-pass split in BOTH bf16x3 and bf16 modes (its cost is a small
+    fraction of the gas contraction's); the highest/default experiment
+    modes keep their uniform dot semantics."""
+    dn = (((0,), (0,)), ((), ()))
+    if _MXU_MODE in ("highest", "default"):
+        prec = (jax.lax.Precision.HIGHEST if _MXU_MODE == "highest"
+                else jax.lax.Precision.DEFAULT)
+        return jax.lax.dot_general(
+            a_hi.astype(F32) + a_lo.astype(F32), b, dimension_numbers=dn,
+            precision=prec, preferred_element_type=F32)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(F32)).astype(jnp.bfloat16)
+    dot = lambda x, y: jax.lax.dot_general(
+        x, y, dimension_numbers=dn, precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=F32)
+    return dot(a_hi, b_hi) + (dot(a_lo, b_hi) + dot(a_hi, b_lo))
+
+
 def planck_eval(t_row, planck_hi_ref, planck_lo_ref, planck_row0_ref, t0,
                 inv_dt, n_planck, npl_pad, inv_pi):
     """Planck intensity (NG, C) for temperatures t_row (1, C).
@@ -534,16 +638,19 @@ def planck_eval(t_row, planck_hi_ref, planck_lo_ref, planck_row0_ref, t0,
     (w1 > 1 allowed), below-grid scaling B = (T/T0) * row0, and the final
     division by pi (gas_optics_ecckd.f90:245-289).
 
-    The full 231-row table is contracted every call: a dynamic
-    temperature WINDOW (like the pressure/vmr windows of gas_tau_block)
-    was measured SLOWER — the pair one-hot and 2-pass bf16 contraction at
-    depth 240 cost ~2 us/eval, and the window's cond + dynamic bf16
-    sublane slice overhead exceeds what it saves.
+    ``planck_hi/lo`` arrive TRANSPOSED (npl_pad, NG) — temperature rows
+    on the sublane axis like the gas tables.  The full table is
+    contracted every call: a dynamic temperature WINDOW (16-aligned
+    sublane slice + lax.cond fallback, like the pressure/vmr windows of
+    gas_tau_block) was re-tried in this orientation and measured a WASH
+    in-process (tools/probe_planck_window.py: 2.156M vs 2.165M cols/s
+    best-of) — the cond + min/max + slice overhead eats the one saved
+    depth-tile, matching the round-1 finding.
     """
     idx = (t_row - t0) * inv_dt
     i0 = jnp.clip(jnp.floor(idx), F32(0.0), F32(n_planck - 2.0)).astype(I32)
     w1 = idx - i0.astype(idx.dtype)
-    oh = pair_onehot(npl_pad, i0, w1)
-    interp = matmul_presplit(planck_hi_ref[...], planck_lo_ref[...], oh)
     below = (t_row / t0) * planck_row0_ref[...]
+    oh = pair_onehot(npl_pad, i0, w1)
+    interp = planck_matmul_t(planck_hi_ref[...], planck_lo_ref[...], oh)
     return jnp.where(idx >= F32(0.0), interp, below) * inv_pi

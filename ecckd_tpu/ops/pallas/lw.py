@@ -326,7 +326,8 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
                          "table entries); use the XLA path")
     ng, npt = p.ng_pad, p.npt_pad
     n_planck = int(model.planck_function.shape[0])
-    npl_pad = ((n_planck + 7) // 8) * 8
+    npl_pad = ((n_planck + 15) // 16) * 16  # 16-aligned: the
+    # planck window slices bf16 sublanes (common.planck_eval)
     n_p_pad = ((p.n_p + 7) // 8) * 8
 
     table_t = plan_mod.dense_table_t(model, p, gas_concs.names, F32)
@@ -356,8 +357,12 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
 
     t_first = jnp.zeros((n_p_pad, 1), F32).at[:p.n_p, 0].set(tg[:, 0])
     pf = model.planck_function.astype(F32)   # (n_planck, ngpt)
+    # Transposed (npl_pad, NG): temperature rows on the sublane axis so
+    # planck_eval can slice an aligned dynamic temperature window.
+    # split_bf16 (always): planck_matmul_t consumes the bf16 halves in
+    # both bf16x3 and bf16 modes (Planck must stay 3-pass; see there).
     planck_hi, planck_lo = common.split_bf16(
-        jnp.zeros((ng, npl_pad), F32).at[:model.ngpt, :n_planck].set(pf.T))
+        jnp.zeros((npl_pad, ng), F32).at[:n_planck, :model.ngpt].set(pf))
     planck_row0 = jnp.zeros((ng, 1), F32).at[:model.ngpt, 0].set(pf[0])
 
     ct = LW_COL_TILE
@@ -417,8 +422,8 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lut_t.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng, npl_pad), rep2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng, npl_pad), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((npl_pad, ng), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((npl_pad, ng), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng, 1), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((lay_rows, lanes_in), col2,
                          memory_space=pltpu.VMEM),

@@ -78,8 +78,6 @@ def _lwsw_kernel(params_ref, t_first_ref,
     inv_dt = params_ref[P_INV_DT]
     mpp = F32(constants.MOLES_PER_PA)
     inv_pi = F32(1.0 / constants.PI)
-    eps = F32(float(np.finfo(np.float32).eps))
-    tiny = F32(float(np.finfo(np.float32).tiny))
     thresh = F32(float(np.sqrt(np.finfo(np.float32).eps)))
 
     planck = functools.partial(
@@ -138,40 +136,12 @@ def _lwsw_kernel(params_ref, t_first_ref,
         blk_b_s[b] = omt * lev_inc + 2.0 * fact * (play_blk - lev_inc)
         blk_c_s[b] = omt * lev_dec + 2.0 * fact * (play_blk - lev_dec)
 
-        # SW: two-stream R/T with g = 0 (sw.py, incl. the fused
-        # reciprocal and cancellation-free complement forms).
-        mu0 = mu0_blk
+        # SW: tau-scaled cancellation-free two-stream with g = 0 — one
+        # divide per block (common.two_stream_g0's derivation notes).
         tau_ray = (mpp * d_p) * ray_ref[...]
         tau = tau_sw + tau_ray
-        ssa = tau_ray / jnp.maximum(tau, tiny)
-        gamma1 = (8.0 - ssa * 5.0) * 0.25
-        gamma2 = 3.0 * ssa * 0.25
-        k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2),
-                                 F32(1e-12)))
-        em1 = -common.expm1_accurate(-k * tau)
-        m1 = em1 * (2.0 - em1)
-        exp_mktau = 1.0 - em1
-        exp_m2ktau = 1.0 - m1
-        tm1 = -common.expm1_accurate(-tau * inv_mu0_blk)
-        t_noscat = 1.0 - tm1
-        k_mu = k * mu0
-        alpha = (gamma1 + gamma2) * 0.5
-        k_half = k * 0.5
-        denom = 1.0 - k_mu * k_mu
-        denom = jnp.where(jnp.abs(denom) >= eps, denom, eps)
-        a_term = k * (1.0 + exp_m2ktau) + gamma1 * m1
-        r_all = 1.0 / (a_term * denom)
-        rt_term = denom * r_all
-        rt2 = ssa * r_all
-        r_dif = rt_term * gamma2 * m1
-        t_dif = rt_term * 2.0 * k * exp_mktau
-        q = em1 * em1 + 2.0 * exp_mktau * tm1
-        s = em1 * em1 - tm1 * (1.0 + exp_m2ktau)
-        r_dir = rt2 * (alpha * (m1 - k_mu * q) + k_half * (q - k_mu * m1))
-        t_dir = -rt2 * (alpha * (t_noscat * m1 + k_mu * s)
-                        + k_half * (s + k_mu * t_noscat * m1))
-        r_dir = jnp.clip(r_dir, F32(0.0), 1.0 - t_noscat)
-        t_dir = jnp.clip(t_dir, F32(0.0), 1.0 - t_noscat - r_dir)
+        r_dif, t_dif, r_dir, t_dir, t_noscat = common.two_stream_g0(
+            tau, tau_ray, mu0_blk, inv_mu0_blk)
         rdif_s[b] = r_dif
         tdif_s[b] = t_dif
         srcup_s[b] = r_dir
@@ -277,7 +247,8 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
                          "separate kernels")
     ng_lw, ng_sw = p_lw.ng_pad, p_sw.ng_pad
     n_planck = int(model_lw.planck_function.shape[0])
-    npl_pad = ((n_planck + 7) // 8) * 8
+    npl_pad = ((n_planck + 15) // 16) * 16  # 16-aligned: the
+    # planck window slices bf16 sublanes (common.planck_eval)
     n_p_pad = ((p_lw.n_p + 7) // 8) * 8
 
     def tables(model, p):
@@ -318,9 +289,11 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
 
     t_first = jnp.zeros((n_p_pad, 1), F32).at[:p_lw.n_p, 0].set(tg[:, 0])
     pf = model_lw.planck_function.astype(F32)
+    # Transposed (npl_pad, NG), split_bf16 halves: Planck stays 3-pass
+    # in every MXU mode (common.planck_matmul_t).
     planck_hi, planck_lo = common.split_bf16(
-        jnp.zeros((ng_lw, npl_pad), F32
-                  ).at[:model_lw.ngpt, :n_planck].set(pf.T))
+        jnp.zeros((npl_pad, ng_lw), F32
+                  ).at[:n_planck, :model_lw.ngpt].set(pf))
     planck_row0 = jnp.zeros((ng_lw, 1), F32
                             ).at[:model_lw.ngpt, 0].set(pf[0])
     solar = model_sw.solar_irradiance.astype(F32)
@@ -401,8 +374,8 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lw_lut.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng_lw, npl_pad), rep2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng_lw, npl_pad), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((npl_pad, ng_lw), rep2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((npl_pad, ng_lw), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec((ng_lw, 1), rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec(sw_table.shape, rep2, memory_space=pltpu.VMEM),
             pl.BlockSpec(sw_table.shape, rep2, memory_space=pltpu.VMEM),

@@ -60,8 +60,6 @@ def _sw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
     log_mf0 = params_ref[P_LOG_MF0]
     inv_dlogv = params_ref[P_INV_DLOGV]
     mpp = F32(constants.MOLES_PER_PA)
-    eps = F32(float(np.finfo(np.float32).eps))
-    tiny = F32(float(np.finfo(np.float32).tiny))
 
     # mu0 is layer-invariant: one (1, C) row per tile, lane-tiled to the
     # blocked (1, lb*C) layout in VMEM where phase A needs it.
@@ -92,46 +90,10 @@ def _sw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
             lb=lb, wp=wp, wv=wv)
         tau_ray = (mpp * d_p) * ray_ref[...]                # (NG, C)
         tau = tau_gas + tau_ray
-        ssa = tau_ray / jnp.maximum(tau, tiny)
-
-        # Two-stream with g = 0 (solvers/two_stream.py specialization),
-        # in the cancellation-free complement form (see that module's
-        # derivation): em1 = 1-e, m1 = 1-e^2, tm1 = 1-t, built via expm1
-        # so the conservative limit (ssa -> 1, k tau -> 0) keeps f32
-        # single-ulp accuracy instead of losing ~eps/(k tau).
-        gamma1 = (8.0 - ssa * 5.0) * 0.25
-        gamma2 = 3.0 * ssa * 0.25
-        k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2),
-                                 F32(1e-12)))
-        em1 = -common.expm1_accurate(-k * tau)
-        m1 = em1 * (2.0 - em1)
-        exp_mktau = 1.0 - em1
-        exp_m2ktau = 1.0 - m1
-        tm1 = -common.expm1_accurate(-tau * inv_mu0)
-        t_noscat = 1.0 - tm1
-
-        k_mu = k * mu0
-        # g == 0: gamma3 = gamma4 = 1/2, alpha1 = alpha2 = (g1+g2)/2.
-        alpha = (gamma1 + gamma2) * 0.5
-        k_half = k * 0.5
-        denom = 1.0 - k_mu * k_mu
-        denom = jnp.where(jnp.abs(denom) >= eps, denom, eps)
-        # One reciprocal serves both quotients: rt_term = 1/A and
-        # rt2 = ssa/(A*denom) come from R = 1/(A*denom) as denom*R and
-        # ssa*R (VPU divides are the costliest ops in this phase).
-        a_term = k * (1.0 + exp_m2ktau) + gamma1 * m1
-        r_all = 1.0 / (a_term * denom)
-        rt_term = denom * r_all
-        rt2 = ssa * r_all
-        r_dif = rt_term * gamma2 * m1
-        t_dif = rt_term * 2.0 * k * exp_mktau
-        q = em1 * em1 + 2.0 * exp_mktau * tm1
-        s = em1 * em1 - tm1 * (1.0 + exp_m2ktau)
-        r_dir = rt2 * (alpha * (m1 - k_mu * q) + k_half * (q - k_mu * m1))
-        t_dir = -rt2 * (alpha * (t_noscat * m1 + k_mu * s)
-                        + k_half * (s + k_mu * t_noscat * m1))
-        r_dir = jnp.clip(r_dir, F32(0.0), 1.0 - t_noscat)
-        t_dir = jnp.clip(t_dir, F32(0.0), 1.0 - t_noscat - r_dir)
+        # tau-scaled cancellation-free two-stream with g = 0: one divide
+        # per block (see common.two_stream_g0's derivation notes).
+        r_dif, t_dif, r_dir, t_dir, t_noscat = common.two_stream_g0(
+            tau, tau_ray, mu0, inv_mu0)
 
         rdif_s[b] = r_dif
         tdif_s[b] = t_dif
