@@ -152,26 +152,42 @@ def _parity_gate() -> None:
     # Both legs jitted: unjitted, every prep op dispatches individually
     # over the tunneled-chip transport (~10 ms each); jitted, the persistent
     # compilation cache makes the gate a one-time cost per code change.
-    with jax.default_device(jax.devices("cpu")[0]):
-        ref_fn = jax.jit(lambda ml, ms, *a: lw_sw_fluxes(
-            ml, ms, *a, n_gauss_angles=1, backend="xla"))
-        ref_lw, ref_sw = ref_fn(lw, sw, *args)
-        ref_lw = jax.tree_util.tree_map(np.asarray, ref_lw)
-        ref_sw = jax.tree_util.tree_map(np.asarray, ref_sw)
+    # The CPU ANCHOR leg bypasses the persistent cache entirely: XLA:CPU
+    # AOT executables are keyed without host CPU features, so a cache
+    # populated on a different machine can load a foreign binary into the
+    # reference computation ("SIGILL"-class warning observed in round 2's
+    # BENCH tail) — the anchor must be compiled fresh on this host.
+    cache_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            ref_fn = jax.jit(lambda ml, ms, *a: lw_sw_fluxes(
+                ml, ms, *a, n_gauss_angles=1, backend="xla"))
+            ref_lw, ref_sw = ref_fn(lw, sw, *args)
+            ref_lw = jax.tree_util.tree_map(np.asarray, ref_lw)
+            ref_sw = jax.tree_util.tree_map(np.asarray, ref_sw)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
     got_lw, got_sw = jax.jit(lambda ml, ms, *a: lw_sw_fluxes(
         ml, ms, *a, n_gauss_angles=1))(lw, sw, *args)
-    worst = 0.0
-    for got, ref in ((got_lw, ref_lw), (got_sw, ref_sw)):
-        rel, _ = chip_parity._max_rel((got.flux_up, got.flux_dn),
-                                      ref.flux_up, ref.flux_dn)
-        worst = max(worst, rel)
+    rel_lw, _ = chip_parity._max_rel((got_lw.flux_up, got_lw.flux_dn),
+                                     ref_lw.flux_up, ref_lw.flux_dn)
+    rel_sw, _ = chip_parity._max_rel((got_sw.flux_up, got_sw.flux_dn),
+                                     ref_sw.flux_up, ref_sw.flux_dn)
+    worst = max(rel_lw, rel_sw)
     if worst > bound:
+        # Per-band errors so a failure self-localizes (lw-only points at
+        # Planck/linear-in-tau; both bands points at the shared gas-optics
+        # contraction or prep).
         print(json.dumps({"metric": "rfmip_lw+sw_flux_solve_throughput",
                           "value": 0.0, "unit": "columns/s/chip",
                           "vs_baseline": 0.0, "parity_ok": False,
-                          "parity_max_rel": worst}))
+                          "parity_max_rel": worst,
+                          "parity_max_rel_lw": rel_lw,
+                          "parity_max_rel_sw": rel_sw}))
         print(f"bench parity gate FAILED: max_rel {worst:.3e} > "
-              f"bound {bound:.1e} ({mode})", file=sys.stderr)
+              f"bound {bound:.1e} ({mode}) "
+              f"[lw {rel_lw:.3e} sw {rel_sw:.3e}]", file=sys.stderr)
         raise SystemExit(1)
     print(f"# bench parity gate OK: max_rel {worst:.3e} <= {bound:.1e} "
           f"({mode})", file=sys.stderr)

@@ -4,7 +4,8 @@ The native library is the framework's compiled I/O runtime — the counterpart
 of the netCDF-C/Fortran stack the reference links against
 (/root/reference/Makefile:33, mo_simple_netcdf.F90).  It is optional: if
 ``native/build/libecckd_io.so`` has not been built (``make -C native``),
-callers fall back to scipy.io.netcdf transparently (see io/ncio.py).
+callers fall back to scipy.io.netcdf transparently (see the ``_NcFile``
+facade in io/rfmip.py and ``_CkdFile`` in models/loader.py).
 """
 from __future__ import annotations
 
@@ -132,6 +133,18 @@ class NativeReader:
         if rc != 0:
             raise OSError(self._lib.nc3_error().decode())
         return out.reshape(shape)
+
+    def var_type(self, name: str) -> int:
+        """netCDF3 external type code of a variable (NC_TYPES values)."""
+        return int(self._lib.nc3_var_type(self._h, self._vid(name)))
+
+    def read_exact(self, name: str) -> np.ndarray:
+        """Variable data in its FILE dtype (the engine decodes to float64;
+        converting back to the stored dtype is lossless for every netCDF3
+        external type and keeps the values bit-identical to a scipy read —
+        load-time numerics like np.log(pressure) must not depend on which
+        engine parsed the file)."""
+        return self.read(name).astype(NP_OF_NC[self.var_type(name)])
 
     def att_text(self, var: Optional[str], name: str) -> Optional[str]:
         vid = -1 if var is None else self._vid(var)

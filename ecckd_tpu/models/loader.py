@@ -15,8 +15,11 @@ semantics as the reference loader
   ``<gas>_conc_dependence_code`` selects none/linear/relative-linear with a
   3-D table (mo_load_coefficients.F90:149-203).
 
-The files are netCDF3-classic; they are parsed with ``scipy.io.netcdf_file``
-(no libnetcdf dependency).
+The files are netCDF3-classic; they are parsed by the repo's native C++
+engine when built (``make -C native``; the same runtime io/rfmip.py uses),
+with a transparent ``scipy.io.netcdf_file`` fallback — either way with no
+libnetcdf dependency and bit-identical loaded values (the native engine's
+reads are converted back to the file dtype, io/nc3_native.read_exact).
 """
 from __future__ import annotations
 
@@ -46,11 +49,49 @@ def _read(var) -> np.ndarray:
     return data.astype(data.dtype.newbyteorder("="), copy=True)
 
 
-def _attr_tokens(f, name: str) -> List[str]:
-    raw = getattr(f, name)
-    if isinstance(raw, bytes):
-        raw = raw.decode()
-    return raw.split()
+class _CkdFile:
+    """Reader facade over the native C++ engine (preferred) or
+    scipy.io.netcdf (fallback) — the ckd-file counterpart of
+    io/rfmip._NcFile, so the coefficient loader runs on the repo's own
+    compiled I/O runtime when it is built."""
+
+    def __init__(self, path: str):
+        from ecckd_tpu.io import nc3_native
+        self._native = None
+        self._scipy = None
+        if nc3_native.load_library() is not None:
+            self._native = nc3_native.NativeReader(path)
+        else:
+            self._scipy = netcdf_file(path, mmap=False)
+
+    def close(self) -> None:
+        (self._native or self._scipy).close()
+
+    def has(self, name: str) -> bool:
+        if self._native:
+            return self._native.has_var(name)
+        return name in self._scipy.variables
+
+    def ndims(self, name: str) -> int:
+        if self._native:
+            return self._native.var_ndims(name)
+        return len(self._scipy.variables[name].dimensions)
+
+    def read(self, name: str) -> np.ndarray:
+        if self._native:
+            return self._native.read_exact(name)
+        return _read(self._scipy.variables[name])
+
+    def attr_tokens(self, name: str) -> List[str]:
+        if self._native:
+            raw = self._native.att_text(None, name)
+            if raw is None:
+                raise AttributeError(name)
+            return raw.split()
+        raw = getattr(self._scipy, name)
+        if isinstance(raw, bytes):
+            raw = raw.decode()
+        return raw.split()
 
 
 def load_ckd_model(path: str, dtype=None) -> CKDModel:
@@ -63,26 +104,24 @@ def load_ckd_model(path: str, dtype=None) -> CKDModel:
     if dtype is None:
         dtype = default_precision().dtype
 
-    f = netcdf_file(path, mmap=False)
+    f = _CkdFile(path)
     try:
         return _build_model(f, dtype)
     finally:
         f.close()
 
 
-def _build_model(f, dtype) -> CKDModel:
-    v = f.variables
-
-    pressure = _read(v["pressure"])  # (np,) [Pa]
+def _build_model(f: "_CkdFile", dtype) -> CKDModel:
+    pressure = f.read("pressure")  # (np,) [Pa]
     log_pressure = np.log(pressure)
     # File stores (temperature, pressure); we index (pressure, temperature).
-    temperature_grid = _read(v["temperature"]).T  # (np, nT)
+    temperature_grid = f.read("temperature").T  # (np, nT)
 
     # Band structure: contiguous g-point runs per band
     # (mo_load_coefficients.F90:59-73).
-    wn1 = _read(v["wavenumber1_band"])
-    wn2 = _read(v["wavenumber2_band"])
-    band_number = _read(v["band_number"]).astype(np.int64)  # 0-based per gpt
+    wn1 = f.read("wavenumber1_band")
+    wn2 = f.read("wavenumber2_band")
+    band_number = f.read("band_number").astype(np.int64)  # 0-based per gpt
     ngpt = band_number.shape[0]
     nband = wn1.shape[0]
     band2gpt: List[Tuple[int, int]] = []
@@ -91,25 +130,25 @@ def _build_model(f, dtype) -> CKDModel:
         band2gpt.append((int(gpts[0]), int(gpts[-1])))
     band_limits = tuple((float(a), float(b)) for a, b in zip(wn1, wn2))
 
-    gpoint_fraction = _read(v["gpoint_fraction"])  # (ngpt, n_wavenumber)
+    gpoint_fraction = f.read("gpoint_fraction")  # (ngpt, n_wavenumber)
 
-    shortwave = "solar_irradiance" in v
+    shortwave = f.has("solar_irradiance")
     solar_irradiance = rayleigh_coeff = None
     planck_temperature = planck_function = None
     total_solar_irradiance = 0.0
     if shortwave:
-        solar_irradiance = _read(v["solar_irradiance"])
+        solar_irradiance = f.read("solar_irradiance")
         total_solar_irradiance = float(solar_irradiance.sum())
-        rayleigh_coeff = _read(v["rayleigh_molar_scattering_coeff"])
+        rayleigh_coeff = f.read("rayleigh_molar_scattering_coeff")
     else:
-        planck_temperature = _read(v["temperature_planck"])
-        planck_function = _read(v["planck_function"])  # (n_planck_T, ngpt)
+        planck_temperature = f.read("temperature_planck")
+        planck_function = f.read("planck_function")  # (n_planck_T, ngpt)
 
     # --- gas registration (mo_load_coefficients.F90:103-144) ---------------
-    tokens = _attr_tokens(f, "constituent_id")
+    tokens = f.attr_tokens("constituent_id")
     uses_composite = COMPOSITE in tokens
     composite_tokens = (
-        _attr_tokens(f, "composite_constituent_id") if uses_composite else []
+        f.attr_tokens("composite_constituent_id") if uses_composite else []
     )
 
     gas_names: List[str] = []
@@ -125,10 +164,10 @@ def _build_model(f, dtype) -> CKDModel:
     def read_gas(name: str, file_gas: str, composite_only: bool) -> None:
         """mo_load_coefficients.F90:149-203 equivalent."""
         mf_var = f"{file_gas}_mole_fraction"
-        is_lut = mf_var in v and len(v[mf_var].dimensions) == 1
+        is_lut = f.has(mf_var) and f.ndims(mf_var) == 1
         if is_lut:
-            mf = _read(v[mf_var])
-            coeff = _read(v[f"{file_gas}_molar_absorption_coeff"])
+            mf = f.read(mf_var)
+            coeff = f.read(f"{file_gas}_molar_absorption_coeff")
             # file (mf, T, p, gpt) -> (mf, p, T, gpt)
             coeff = np.ascontiguousarray(coeff.transpose(0, 2, 1, 3))
             gas_names.append(name)
@@ -139,18 +178,18 @@ def _build_model(f, dtype) -> CKDModel:
             lut_tables.append(coeff)
             lut_mf_grids.append(tuple(float(x) for x in mf))
             return
-        code = int(_read(v[f"{file_gas}_conc_dependence_code"]))
+        code = int(f.read(f"{file_gas}_conc_dependence_code"))
         if code not in (constants.CONC_NONE, constants.CONC_LINEAR,
                         constants.CONC_RELATIVE_LINEAR):
             raise ValueError(
                 f"bad concentration dependence code {code} for gas {file_gas}")
         ref_mf = 0.0
         if code == constants.CONC_RELATIVE_LINEAR:
-            ref_mf = float(_read(v[f"{file_gas}_reference_mole_fraction"]))
+            ref_mf = float(f.read(f"{file_gas}_reference_mole_fraction"))
         if file_gas in dense_row_of:
             row = dense_row_of[file_gas]
         else:
-            coeff = _read(v[f"{file_gas}_molar_absorption_coeff"])
+            coeff = f.read(f"{file_gas}_molar_absorption_coeff")
             if coeff.ndim != 3:
                 raise ValueError(
                     f"absorption coefficient for {file_gas} is not 3-D")

@@ -326,8 +326,9 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
                          "table entries); use the XLA path")
     ng, npt = p.ng_pad, p.npt_pad
     n_planck = int(model.planck_function.shape[0])
-    npl_pad = ((n_planck + 15) // 16) * 16  # 16-aligned: the
-    # planck window slices bf16 sublanes (common.planck_eval)
+    npl_pad = ((n_planck + 15) // 16) * 16  # 16-aligned: headroom
+    # left over from the abandoned Planck-window experiment (measured a
+    # wash, tools/probe_planck_window.py); harmless over-padding
     n_p_pad = ((p.n_p + 7) // 8) * 8
 
     table_t = plan_mod.dense_table_t(model, p, gas_concs.names, F32)
@@ -358,7 +359,8 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     t_first = jnp.zeros((n_p_pad, 1), F32).at[:p.n_p, 0].set(tg[:, 0])
     pf = model.planck_function.astype(F32)   # (n_planck, ngpt)
     # Transposed (npl_pad, NG): temperature rows on the sublane axis so
-    # planck_eval can slice an aligned dynamic temperature window.
+    # planck_matmul_t contracts dim 0 of both operands (the full table is
+    # contracted every call; the dynamic-window variant measured a wash).
     # split_bf16 (always): planck_matmul_t consumes the bf16 halves in
     # both bf16x3 and bf16 modes (Planck must stay 3-pass; see there).
     planck_hi, planck_lo = common.split_bf16(

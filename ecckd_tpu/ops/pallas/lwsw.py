@@ -247,8 +247,9 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
                          "separate kernels")
     ng_lw, ng_sw = p_lw.ng_pad, p_sw.ng_pad
     n_planck = int(model_lw.planck_function.shape[0])
-    npl_pad = ((n_planck + 15) // 16) * 16  # 16-aligned: the
-    # planck window slices bf16 sublanes (common.planck_eval)
+    npl_pad = ((n_planck + 15) // 16) * 16  # 16-aligned: headroom
+    # left over from the abandoned Planck-window experiment (measured a
+    # wash, tools/probe_planck_window.py); harmless over-padding
     n_p_pad = ((p_lw.n_p + 7) // 8) * 8
 
     def tables(model, p):

@@ -2,6 +2,7 @@
 import os
 import subprocess
 
+import jax
 import numpy as np
 import pytest
 from scipy.io import netcdf_file
@@ -113,3 +114,25 @@ def test_update_var_template_fill(tmp_path):
     np.testing.assert_allclose(np.asarray(f.variables["rlu"].data), data,
                                rtol=1e-6)
     f.close()
+
+
+def test_ckd_loader_native_matches_scipy(monkeypatch):
+    """load_ckd_model must produce a bit-identical model whichever I/O
+    engine parses the file (the native engine decodes to f64; read_exact
+    converts back to the file dtype so load-time numerics like
+    np.log(pressure) and the grid_key content hash cannot diverge)."""
+    from ecckd_tpu.io import nc3_native
+    from ecckd_tpu.models import loader
+
+    path = ("/root/reference/data/"
+            "ecckd-1.2_lw_ckd-definition_climate_fsck-tol0.0161.nc")
+    assert nc3_native.load_library() is not None
+    m_native = loader.load_ckd_model(path, dtype=np.dtype(np.float32))
+    monkeypatch.setattr(nc3_native, "load_library", lambda: None)
+    m_scipy = loader.load_ckd_model(path, dtype=np.dtype(np.float32))
+
+    leaves_n, treedef_n = jax.tree_util.tree_flatten(m_native)
+    leaves_s, treedef_s = jax.tree_util.tree_flatten(m_scipy)
+    assert treedef_n == treedef_s  # static metadata incl. grid_key equal
+    for a, b in zip(leaves_n, leaves_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

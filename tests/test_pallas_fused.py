@@ -291,3 +291,24 @@ def test_fused_pressure_window_fallback():
                                atol=3e-5 * scale)
     np.testing.assert_allclose(np.asarray(dn), np.asarray(ref.flux_dn),
                                atol=3e-5 * scale)
+
+
+def test_lw_fused_all_gases_unknown():
+    """Every requested gas unknown -> silent skip of all (reference
+    semantics, gas_optics_ecckd.f90:358-364) -> zero optical depth.  The
+    fused path must produce the transparent-atmosphere fluxes, not crash
+    on an empty contraction (round-3 fix in common.gas_tau_block_multi)."""
+    model = load_ckd_model(LW_FSCK, dtype=np.dtype(F32))
+    plev, tlay, tlev, tsfc, _ = _inputs()
+    ncol = tlay.shape[0]
+    concs = GasConcs.create(dict(not_a_gas=jnp.full((ncol,), 1e-6, F32)))
+    emis_gpt = jnp.ones((ncol, model.ngpt), F32)
+    up, dn = lw_fluxes_fused(model, plev, tlay, tlev, tsfc, emis_gpt,
+                             concs, n_gauss_angles=1, interpret=True)
+    ref = lw_fluxes(model, plev, tlay, tlev, tsfc,
+                    jnp.ones((ncol,), F32), concs, backend="xla")
+    scale = float(jnp.abs(ref.flux_up).max())
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ref.flux_up),
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(dn), np.asarray(ref.flux_dn),
+                               atol=3e-5 * scale)

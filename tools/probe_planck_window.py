@@ -68,6 +68,17 @@ def epoch_time(step):
 
 
 def main():
+    # HISTORICAL probe: the PLANCK_WINDOW hook was removed from
+    # ops/pallas/common.py after this measured a wash, so setting the
+    # attribute below compiles two IDENTICAL kernels.  Fail fast instead
+    # of printing an A/B that looks like a live measurement.
+    if not hasattr(common, "PLANCK_WINDOW"):
+        raise SystemExit(
+            "probe_planck_window: common.PLANCK_WINDOW no longer exists — "
+            "the Planck temperature window was removed after this probe "
+            "measured it a wash (see docs/DESIGN.md).  Re-introduce the "
+            "hook in common.planck_eval before re-running, or treat this "
+            "script as a historical record only.")
     lw = jax.device_put(load_ckd_model(LW_FILE, dtype=np.float32))
     sw = jax.device_put(load_ckd_model(SW_FILE, dtype=np.float32))
     b = _example_batch(NCOL, 60, np.float32)
