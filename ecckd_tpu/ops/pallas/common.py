@@ -649,6 +649,13 @@ def planck_matmul_t(a_hi, a_lo, b):
     dot = lambda x, y: jax.lax.dot_general(
         x, y, dimension_numbers=dn, precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=F32)
+    # All three passes in EVERY mode: dropping the a_hi @ b_lo (weight-lo)
+    # term was tried for the fast mode and measured 1.22e-2 relative LW
+    # flux error on the chip-parity batch — the weight rounding is ~2^-9
+    # ABSOLUTE of a weight that multiplies the full B row, so the
+    # interpolated value loses ~2e-3 B, the same catastrophic class as a
+    # bf16 table (the linear-in-tau source differences adjacent Planck
+    # values, amplifying it ~50x).  Planck is 3-pass, period.
     return dot(a_hi, b_hi) + (dot(a_lo, b_hi) + dot(a_hi, b_lo))
 
 

@@ -160,26 +160,24 @@ def _lwsw_kernel(params_ref, t_first_ref,
         bb, l = divmod(j, lb)
         ref[bb, :, l * ctile:(l + 1) * ctile] = val
 
-    # --- LW sweeps (lw.py 1-angle affine recurrences) -------------------
+    # --- Sweeps: the independent LW and SW chains of the same direction
+    # run in ONE loop.  Measured NEUTRAL vs separate loops (~28.9 vs
+    # ~28.7 ms/65k-col solve — Mosaic already overlaps the chains), and
+    # tools/probe_sweeps.py showed the whole sweep phase is a minor cost
+    # (removing every per-level reduction + accumulate saved only
+    # ~0.2-0.7 ms): the sweeps are NOT the place to hunt.  Kept fused for
+    # structure; per-step math is op-for-op identical to the separate
+    # sweeps (bitwise fluxes, test_lwsw_merged_matches_separate).
+    # Forward: LW down radiance + SW direct-beam attenuation (sw phase A1).
     sfc_src = planck(tsfc_ref[...])
     emis = emis_ref[...]
     w2pi = F32(2.0 * constants.PI * weight)
     rad = jnp.zeros_like(sfc_src)
+    direct = dir_top
     for j in range(nlay):
         rad = chunk(blk_a_s, j) * rad + chunk(blk_b_s, j)
         lwdn_ref[pl.ds(j + 1, 1), :] += w2pi * jnp.sum(
             rad, axis=0, keepdims=True)
-    rad = emis * sfc_src + (1.0 - emis) * rad
-    lwup_ref[pl.ds(nlay, 1), :] += w2pi * jnp.sum(rad, axis=0,
-                                                  keepdims=True)
-    for j in reversed(range(nlay)):
-        rad = chunk(blk_a_s, j) * rad + chunk(blk_c_s, j)
-        lwup_ref[pl.ds(j, 1), :] += w2pi * jnp.sum(rad, axis=0,
-                                                   keepdims=True)
-
-    # --- SW sweeps (sw.py phases A1/B/C) ---------------------------------
-    direct = dir_top
-    for j in range(nlay):
         chunk_set(srcup_s, j, chunk(srcup_s, j) * direct)
         chunk_set(srcdn_s, j, chunk(srcdn_s, j) * direct)
         direct = chunk(denom_s, j) * direct
@@ -187,10 +185,19 @@ def _lwsw_kernel(params_ref, t_first_ref,
                                                keepdims=True)
     dir_sfc = direct
 
+    # Surface boundary conditions of both backward chains.
+    rad = emis * sfc_src + (1.0 - emis) * rad
+    lwup_ref[pl.ds(nlay, 1), :] += w2pi * jnp.sum(rad, axis=0,
+                                                  keepdims=True)
     albedo_s[nlay] = alb_ref[...]
     src_s[nlay] = alb_ref[...] * dir_sfc
     albedo, src = albedo_s[nlay], src_s[nlay]
+
+    # Backward: LW up radiance + SW adding recurrence (sw phase B).
     for j in reversed(range(nlay)):
+        rad = chunk(blk_a_s, j) * rad + chunk(blk_c_s, j)
+        lwup_ref[pl.ds(j, 1), :] += w2pi * jnp.sum(rad, axis=0,
+                                                   keepdims=True)
         r_dif = chunk(rdif_s, j)
         t_dif = chunk(tdif_s, j)
         denom = 1.0 / (1.0 - r_dif * albedo)

@@ -126,9 +126,14 @@ def lw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
       backend: "auto" | "fused" (Pallas mega-kernel) | "xla".
       logarithmic_interpolation: the reference's alternate log-space table
         interpolation (live API, never selected by its drivers,
-        gas_optics_ecckd.f90:368).  Only the XLA path implements it, so it
-        is routed there explicitly; requesting backend="fused" with it is
-        an error.
+        gas_optics_ecckd.f90:368).  PERMANENTLY XLA-routed by design:
+        in log space each gas's interpolated coefficient must be
+        exponentiated BEFORE the cross-gas sum (gas_optics_ecckd.f90:
+        180-229), so a fused version would add one exp over every
+        contracted table slice per block (~2x the accumulation VPU cost)
+        to a branch no driver or shipped workflow ever selects — the XLA
+        path is the oracle-tested home for it.  Requesting
+        backend="fused" with it is an error.
     """
     dtype = jnp.asarray(tlay).dtype
     if logarithmic_interpolation:

@@ -94,6 +94,8 @@ _orig = dict(
     onehot=common.pt_onehot,
     planck=common.planck_eval,
     gas=common.gas_tau_block_multi,
+    twostream=common.two_stream_g0,
+    fill=common.fill_lane_blocks,
 )
 
 
@@ -128,19 +130,43 @@ def cheap_gas(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
     return taus, d_p
 
 
+_ATTR = {"expm1": "expm1_accurate", "onehot": "pt_onehot",
+         "planck": "planck_eval", "gas": "gas_tau_block_multi",
+         "twostream": "two_stream_g0", "fill": "fill_lane_blocks"}
+
+
+def cheap_twostream(tau, u, mu0, inv_mu0):
+    # keeps deps on all inputs, drops the exp/sqrt/divide algebra
+    r = tau * F32(1e-3) + u * F32(1e-4)
+    t = mu0 * F32(0.5) + r
+    return r, t, r * mu0, t * inv_mu0 * F32(1e-3), 1.0 - r
+
+
+def cheap_fill(dst, src, n_blk, lb):
+    # dep-preserving stand-in: one broadcast store per block instead of
+    # lb row-concats (measures the in-kernel relayout's concat cost)
+    import jax.experimental.pallas as pl
+    if len(src.shape) == 3:
+        for v in range(src.shape[0]):
+            for b in range(n_blk):
+                row = src[v, pl.ds(b, 1), :]
+                dst[v, pl.ds(b, 1), :] = jnp.concatenate(
+                    [row] * lb, axis=1) if lb > 1 else row
+    else:
+        for b in range(n_blk):
+            row = src[pl.ds(b, 1), :]
+            dst[pl.ds(b, 1), :] = jnp.concatenate(
+                [row] * lb, axis=1) if lb > 1 else row
+
+
 def run_variant(name, patches, lw, sw, args):
     for k, v in patches.items():
-        setattr(common, {"expm1": "expm1_accurate", "onehot": "pt_onehot",
-                         "planck": "planck_eval",
-                         "gas": "gas_tau_block_multi"}[k], v)
+        setattr(common, _ATTR[k], v)
     try:
         dt = timeit(make_step(lw, sw, args))
     finally:
         for k in patches:
-            setattr(common, {"expm1": "expm1_accurate",
-                             "onehot": "pt_onehot",
-                             "planck": "planck_eval",
-                             "gas": "gas_tau_block_multi"}[k], _orig[k])
+            setattr(common, _ATTR[k], _orig[k])
     return dt
 
 
@@ -185,6 +211,8 @@ def main():
         "cheap_planck": {"planck": cheap_planck},
         "cheap_gasoptics": {"gas": cheap_gas},
         "cheap_gas+planck": {"gas": cheap_gas, "planck": cheap_planck},
+        "cheap_twostream": {"twostream": cheap_twostream},
+        "cheap_fill": {"fill": cheap_fill},
     }
     for name, p in variants.items():
         results[name] = run_variant(name, p, lw, sw, args)
