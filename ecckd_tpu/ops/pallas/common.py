@@ -537,6 +537,10 @@ def gas_tau_block_multi(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
     win_p = wp < n_p
     ok = None
     if win_p:
+        # NOTE: do NOT round base_p for bf16 slice alignment — measured
+        # -29% (2.45M -> 1.74M cols/s): losing one point of window
+        # headroom pushes many blocks into the full-table cond fallback,
+        # which costs far more than any misaligned-slice shuffles.
         base_p = jnp.clip(jnp.min(i0p), 0, n_p - wp)
         ok = jnp.max(i0p) - base_p <= wp - 2
     win_v = []
