@@ -116,12 +116,14 @@ def run_configs(ncol: int = 65536) -> None:
         results[name] = round(ncol / dt, 1)
         print(f"# {name}: {results[name]:,.0f} columns/s/chip",
               file=sys.stderr)
+    mode = os.environ.get("ECCKD_MXU_PRECISION", "bf16x3")
     out = {"ncol": ncol, "nlay": nlay, "unit": "columns/s/chip",
-           "mxu_precision": os.environ.get("ECCKD_MXU_PRECISION",
-                                           "bf16x3"),
+           "mxu_precision": mode,
            "configs": results}
+    name = ("BENCH_CONFIGS.json" if mode == "bf16x3"
+            else f"BENCH_CONFIGS_{mode}.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_CONFIGS.json"), "w") as f:
+                           name), "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
     print(json.dumps(out))
