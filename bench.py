@@ -214,10 +214,11 @@ def run_bench(mode: str) -> None:
         from ecckd_tpu.cli.common import setup_compilation_cache
         setup_compilation_cache()
         dtype_name = "float32"
-        # 131072 columns: +3% over 65536 (amortizes per-dispatch overhead;
-        # measured 2.46M vs 2.39M cols/s in one process), still the same
-        # RFMIP-shaped steady-state workload.
-        ncol = int(os.environ.get("ECCKD_BENCH_NCOL", "131072"))
+        # 262144 columns: amortizes per-dispatch transport overhead
+        # (65k -> 131k -> 262k measured 2.39 -> 2.45 -> 2.49M cols/s in
+        # one process; the kernel itself is 25.4 ms/65k device-side), same
+        # RFMIP-shaped steady-state workload, ~0.9 GB device footprint.
+        ncol = int(os.environ.get("ECCKD_BENCH_NCOL", "262144"))
         iters, warmup = 20, 2
         if os.environ.get("ECCKD_BENCH_PARITY", "1") != "0":
             _parity_gate()
