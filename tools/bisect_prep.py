@@ -1,5 +1,8 @@
-"""Bisect the model-as-jit-arg vs eager divergence: compare every array
-the LW prep feeds to pallas_call between the two modes."""
+"""HISTORICAL bisect tool for the round-2 model-as-jit-arg divergence
+(FIXED): compares every array the LW prep feeds to pallas_call between
+jit and eager.  This is the tool that localized the bug to the *_lo bf16
+split halves (all three DIFFed pre-fix; all zero-diff since the
+integer-RNE bit split in common.split_bf16)."""
 import os
 os.environ["JAX_PLATFORMS"] = os.environ.get("REPRO_PLATFORM", "axon")
 import sys

@@ -1,8 +1,14 @@
-"""Off-chip repro of the jit-vs-eager fused-kernel flux divergence.
+"""HISTORICAL repro of the round-2 jit-vs-eager flux divergence (FIXED).
 
-VERDICT round 2 weak #1: jax.jit(lw_fluxes_fused) differs from the eager
-call by up to ~1.4 W/m2 on the adversarial batch, reproducing in CPU
-interpret mode.  This script reproduces and (via env knobs) bisects it.
+VERDICT round 2 weak #1: jax.jit(lw_fluxes_fused) differed from eager by
+~1.4 W/m2.  Root cause: XLA folded the f32->bf16->f32 convert pair in the
+bf16 splits when the model tables were TRACED jit arguments (this script
+originally closed over the model, which is why the divergence only
+appeared once the model rode through jit as an argument — see
+tools/bisect_prep.py).  Fixed by the integer-RNE bit split in
+ops/pallas/common.split_bf16; the regression now lives in
+tests/test_jit_eager.py and the jitted legs of tools/chip_parity.py.
+Expected output today: maxabs 0.0.
 """
 import os
 os.environ["JAX_PLATFORMS"] = os.environ.get("REPRO_PLATFORM", "cpu")
