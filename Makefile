@@ -23,7 +23,13 @@ test: native
 bench: native
 	python bench.py
 
+# On-chip correctness gates: the REQUIRED check before committing any
+# kernel change (rewrites PARITY_CHIP.json; see .claude/skills/verify).
+verify: native
+	python tools/chip_parity.py
+	python bench.py
+
 clean:
 	$(MAKE) -C native clean
 
-.PHONY: all native test bench clean
+.PHONY: all native test bench verify clean
