@@ -70,6 +70,10 @@ def run_configs(ncol: int = 65536) -> None:
     from ecckd_tpu.pipeline import lw_fluxes, lw_sw_fluxes
 
     setup_compilation_cache()
+    # Same correctness gate as the headline mode: a committed per-config
+    # throughput artifact from a wrong-flux kernel is worse than none.
+    if os.environ.get("ECCKD_BENCH_PARITY", "1") != "0":
+        _parity_gate()
     nlay = 60
     dtype = np.dtype("float32")
     lw = jax.device_put(load_ckd_model(LW_FILE, dtype=dtype))

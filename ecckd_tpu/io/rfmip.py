@@ -84,7 +84,14 @@ def _read(var) -> np.ndarray:
 
 class _NcFile:
     """Uniform reader facade over the native C++ engine (preferred, see
-    io/nc3_native.py) or scipy.io.netcdf (fallback)."""
+    io/nc3_native.py) or scipy.io.netcdf (fallback).
+
+    BIT-IDENTITY CONTRACT: reads return the variable in its FILE dtype
+    whichever engine parsed it (the native engine decodes to f64;
+    ``read_exact`` converts back losslessly), so every downstream
+    computation — units scaling, np.log, content hashes — produces
+    byte-identical results with and without the native library.  The ckd
+    loader's facade (models/loader._CkdFile) builds on this class."""
 
     def __init__(self, path: str):
         from ecckd_tpu.io import nc3_native
@@ -103,17 +110,39 @@ class _NcFile:
             return self._native.dimensions[name]
         return self._scipy.dimensions[name]
 
+    def has(self, name: str) -> bool:
+        if self._native:
+            return self._native.has_var(name)
+        return name in self._scipy.variables
+
+    def ndims(self, name: str) -> int:
+        if self._native:
+            return self._native.var_ndims(name)
+        return len(self._scipy.variables[name].dimensions)
+
     def read(self, name: str) -> np.ndarray:
         if self._native:
-            return self._native.read(name)
+            return self._native.read_exact(name)
         return _read(self._scipy.variables[name])
+
+    def attr_tokens(self, name: str) -> list:
+        """Whitespace tokens of a GLOBAL text attribute."""
+        if self._native:
+            raw = self._native.att_text(None, name)
+            if raw is None:
+                raise AttributeError(name)
+            return raw.split()
+        raw = getattr(self._scipy, name)
+        if isinstance(raw, bytes):
+            raw = raw.decode()
+        return raw.split()
 
     def read_scaled(self, name: str) -> np.ndarray:
         """Gas variable with its numeric ``units`` attribute multiplied in
         (mo_rfmip_io.F90:266-282)."""
         if self._native:
             units = self._native.att_text(name, "units")
-            return self._native.read(name) * float(units)
+            return self._native.read_exact(name) * float(units)
         var = self._scipy.variables[name]
         units = var.units
         if isinstance(units, bytes):

@@ -50,48 +50,13 @@ def _read(var) -> np.ndarray:
 
 
 class _CkdFile:
-    """Reader facade over the native C++ engine (preferred) or
-    scipy.io.netcdf (fallback) — the ckd-file counterpart of
-    io/rfmip._NcFile, so the coefficient loader runs on the repo's own
-    compiled I/O runtime when it is built."""
+    """ckd-file reader facade: io/rfmip._NcFile (native engine preferred,
+    scipy fallback, file-dtype-exact reads) re-exported under the name the
+    loader uses.  One facade implementation serves both I/O surfaces."""
 
-    def __init__(self, path: str):
-        from ecckd_tpu.io import nc3_native
-        self._native = None
-        self._scipy = None
-        if nc3_native.load_library() is not None:
-            self._native = nc3_native.NativeReader(path)
-        else:
-            self._scipy = netcdf_file(path, mmap=False)
-
-    def close(self) -> None:
-        (self._native or self._scipy).close()
-
-    def has(self, name: str) -> bool:
-        if self._native:
-            return self._native.has_var(name)
-        return name in self._scipy.variables
-
-    def ndims(self, name: str) -> int:
-        if self._native:
-            return self._native.var_ndims(name)
-        return len(self._scipy.variables[name].dimensions)
-
-    def read(self, name: str) -> np.ndarray:
-        if self._native:
-            return self._native.read_exact(name)
-        return _read(self._scipy.variables[name])
-
-    def attr_tokens(self, name: str) -> List[str]:
-        if self._native:
-            raw = self._native.att_text(None, name)
-            if raw is None:
-                raise AttributeError(name)
-            return raw.split()
-        raw = getattr(self._scipy, name)
-        if isinstance(raw, bytes):
-            raw = raw.decode()
-        return raw.split()
+    def __new__(cls, path: str):
+        from ecckd_tpu.io.rfmip import _NcFile
+        return _NcFile(path)
 
 
 def load_ckd_model(path: str, dtype=None) -> CKDModel:

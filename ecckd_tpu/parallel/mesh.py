@@ -66,17 +66,22 @@ def shard_batch(arrays, mesh: Mesh):
     return placed, ncol
 
 
-def shard_columns_call(fn, mesh: Mesh, args, ncol: int, batch_leaf=None):
+def shard_columns_call(fn, mesh: Mesh, args, ncol: int, batch_leaf=None,
+                       replicated_argnums=()):
     """Run ``fn(*args)`` as an SPMD program over the columns mesh.
 
     By default every pytree leaf whose leading axis equals ``ncol`` is
     split over the ``columns`` axis; everything else (lookup tables,
     scalars) is replicated.  Pass ``batch_leaf`` (leaf -> bool) to mark
-    batch leaves explicitly when a replicated leaf's leading extent could
-    coincide with ``ncol``.  This is the bridge that lets the fused Pallas
-    kernels — which are per-device programs — scale over a pod slice: each
-    device runs the kernel on its column shard, and no collectives are
-    needed because the physics is column-independent.
+    batch leaves explicitly, or ``replicated_argnums`` (positions into
+    ``args``) to force whole subtrees replicated — REQUIRED when passing
+    a model pytree whose table leaves could have a leading extent equal
+    to ``ncol`` (e.g. a 12-point h2o mole-fraction axis vs ncol == 12):
+    the heuristic would silently shard such a table over columns.  This
+    is the bridge that lets the fused Pallas kernels — which are
+    per-device programs — scale over a pod slice: each device runs the
+    kernel on its column shard, and no collectives are needed because the
+    physics is column-independent.
 
     ``ncol`` must divide the mesh size (see shard_batch / pad_columns).
     Outputs must have a leading column axis.
@@ -93,7 +98,14 @@ def shard_columns_call(fn, mesh: Mesh, args, ncol: int, batch_leaf=None):
     def spec_of(x):
         return P(COLUMNS) if batch_leaf(x) else P()
 
-    in_specs = jax.tree_util.tree_map(spec_of, args)
+    if replicated_argnums:
+        rep = frozenset(replicated_argnums)
+        in_specs = tuple(
+            jax.tree_util.tree_map((lambda x: P()) if i in rep else spec_of,
+                                   a)
+            for i, a in enumerate(args))
+    else:
+        in_specs = jax.tree_util.tree_map(spec_of, args)
     # check_vma off: scan carries built from replicated inputs (e.g. the
     # zero TOA incidence) trip the varying-manual-axes checker even though
     # the program is valid per-shard.

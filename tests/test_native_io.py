@@ -124,8 +124,7 @@ def test_ckd_loader_native_matches_scipy(monkeypatch):
     from ecckd_tpu.io import nc3_native
     from ecckd_tpu.models import loader
 
-    path = ("/root/reference/data/"
-            "ecckd-1.2_lw_ckd-definition_climate_fsck-tol0.0161.nc")
+    path = LW_FSCK
     assert nc3_native.load_library() is not None
     m_native = loader.load_ckd_model(path, dtype=np.dtype(np.float32))
     monkeypatch.setattr(nc3_native, "load_library", lambda: None)

@@ -171,3 +171,34 @@ def test_shard_map_fused_kernel_interpret(lw_model, batch):
         <= 1e-4 * scale
     assert np.abs(np.asarray(dn) - np.asarray(xla.flux_dn)).max() \
         <= 1e-4 * scale
+
+
+def test_shard_columns_call_replicated_argnums_collision():
+    """A replicated table whose leading extent EQUALS ncol must not be
+    sharded over columns when pinned via replicated_argnums (the shape
+    heuristic alone cannot tell it apart from a batch array — e.g. the
+    12-point h2o mole-fraction axis vs ncol == 12 in dryrun_multichip(6))."""
+    import jax
+    import jax.numpy as jnp
+    from ecckd_tpu.parallel import mesh as pmesh
+
+    devs = jax.devices()
+    n_dev = min(4, len(devs))
+    mesh = pmesh.make_column_mesh(devs[:n_dev])
+    ncol = 2 * n_dev
+    table = jnp.arange(ncol * 3, dtype=jnp.float32).reshape(ncol, 3)
+    cols = jnp.linspace(0.0, 1.0, ncol)
+
+    def fn(table, cols):
+        # every column reads the FULL table: wrong if the table was split
+        return cols[:, None] + jnp.sum(table) + jnp.zeros((cols.shape[0], 1))
+
+    expect = np.asarray(fn(table, cols))
+    got = pmesh.shard_columns_call(fn, mesh, (table, cols), ncol,
+                                   replicated_argnums=(0,))
+    np.testing.assert_array_equal(np.asarray(got), expect)
+    # and the heuristic alone WOULD have split it (documented hazard):
+    split = pmesh.shard_columns_call(fn, mesh, (table, cols), ncol)
+    assert not np.allclose(np.asarray(split), expect), (
+        "collision no longer reproduces; revisit the replicated_argnums "
+        "rationale")
