@@ -30,8 +30,13 @@ sys.path.insert(0, os.environ["ECCKD_REPO"])
 pid = int(os.environ["ECCKD_MP_PID"])
 nproc = int(os.environ["ECCKD_MP_NPROC"])
 port = os.environ["ECCKD_MP_PORT"]
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=2")
+# Replace (not append) any inherited device-count flag: the parent
+# pytest process carries --xla_force_host_platform_device_count=8 from
+# tests/conftest.py, and duplicated flags rely on last-wins parsing.
+flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+         if "xla_force_host_platform_device_count" not in f]
+os.environ["XLA_FLAGS"] = " ".join(
+    flags + ["--xla_force_host_platform_device_count=2"])
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
