@@ -93,6 +93,28 @@ for name, garr, refa in (("up", out.flux_up, ref_up),
         rows = shard.index[0]
         np.testing.assert_array_equal(np.asarray(shard.data),
                                       refa[rows], err_msg=name)
+
+# Leg 2: the FUSED Pallas kernel (interpret mode) under shard_map across
+# BOTH processes — the exact per-device program a pod runs, with the
+# model subtree pinned replicated (see shard_columns_call).
+from ecckd_tpu.ops.pallas.lw import lw_fluxes_fused
+
+def fused_step(m, plev, tlay, tlev, tsfc, emis, concs):
+    emis_gpt = jnp.broadcast_to(emis[:, None], (plev.shape[0], m.ngpt))
+    return lw_fluxes_fused(m, plev, tlay, tlev, tsfc, emis_gpt, concs,
+                           n_gauss_angles=1, interpret=True)
+
+upf, dnf = jax.jit(lambda *a: pmesh.shard_columns_call(
+    fused_step, mesh, a, ncol, replicated_argnums=(0,)))(
+    model, feed(plev), feed(tlay), feed(tlev), feed(tsfc), feed(emis),
+    concs)
+jax.block_until_ready((upf, dnf))
+scale = float(np.abs(ref_up).max())
+for garr, refa in ((upf, ref_up), (dnf, ref_dn)):
+    for shard in garr.addressable_shards:
+        rows = shard.index[0]
+        assert (np.abs(np.asarray(shard.data) - refa[rows])
+                <= 5e-5 * scale).all(), "fused multi-process mismatch"
 print(f"MP_OK p{pid}", flush=True)
 '''
 
