@@ -218,11 +218,12 @@ def run_bench(mode: str) -> None:
         from ecckd_tpu.cli.common import setup_compilation_cache
         setup_compilation_cache()
         dtype_name = "float32"
-        # 262144 columns: amortizes per-dispatch transport overhead
-        # (65k -> 131k -> 262k measured 2.39 -> 2.45 -> 2.49M cols/s in
-        # one process; the kernel itself is 25.4 ms/65k device-side), same
-        # RFMIP-shaped steady-state workload, ~0.9 GB device footprint.
-        ncol = int(os.environ.get("ECCKD_BENCH_NCOL", "262144"))
+        # 524288 columns: amortizes per-dispatch transport overhead
+        # (65k -> 131k -> 262k -> 524k measured 2.39 -> 2.45 -> 2.48 ->
+        # 2.51M cols/s in-process; the kernel itself is 25.4 ms/65k
+        # device-side), same RFMIP-shaped steady-state workload, ~1.8 GB
+        # device footprint.
+        ncol = int(os.environ.get("ECCKD_BENCH_NCOL", "524288"))
         iters, warmup = 20, 2
         if os.environ.get("ECCKD_BENCH_PARITY", "1") != "0":
             _parity_gate()
