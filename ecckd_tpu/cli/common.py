@@ -151,18 +151,46 @@ def place_on_mesh(arrays, use_mesh: bool, concs: GasConcs = None):
     return placed, placed_concs, m
 
 
+def is_compile_failure(e: BaseException) -> bool:
+    """Classify an exception as a COMPILE-class failure of the fused Pallas
+    path (Mosaic lowering/compile error, unsupported-op NotImplementedError,
+    XLA compile-time error, VMEM budget exhaustion at kernel compile).
+
+    Only these trigger the auto-path XLA fallback in solve_with_fallback;
+    anything else (a numerics assertion, a FloatingPointError from NaN
+    debugging, a shape/value error in user inputs) is a genuine bug in the
+    run and must propagate — a blanket ``except Exception`` here would mask
+    exactly the jit-vs-eager class of production bug round 2 was about."""
+    qual = f"{type(e).__module__}.{type(e).__name__}"
+    if isinstance(e, NotImplementedError):
+        return True  # Mosaic lowering: unsupported op/shape
+    if "Lowering" in type(e).__name__ or "pallas" in type(e).__module__:
+        return True  # pallas LoweringError family
+    if "XlaRuntimeError" in qual or "JaxRuntimeError" in qual:
+        # Runtime-typed, but Mosaic/XLA report compile failures through the
+        # same exception class — distinguish by message.
+        msg = str(e)
+        return any(tok in msg for tok in (
+            "Mosaic", "mosaic", "compil", "lowering", "UNIMPLEMENTED",
+            "vmem", "VMEM", "RESOURCE_EXHAUSTED", "INVALID_ARGUMENT"))
+    return False
+
+
 def solve_with_fallback(solve, backend: str):
     """Run ``solve(backend)``; when the auto-selected fused Pallas path
-    fails to compile (e.g. a transient remote-compile failure or a Mosaic
+    fails to COMPILE (e.g. a transient remote-compile failure or a Mosaic
     version skew on an unusual shape), fall back to the always-available
-    XLA path instead of failing the run.  Explicit --backend choices are
-    honored without fallback."""
+    XLA path instead of failing the run.  Non-compile failures propagate
+    (see is_compile_failure).  Explicit --backend choices are honored
+    without fallback."""
     if backend != "auto":
         return solve(backend)
     try:
         return solve("auto")
-    except Exception as e:  # compile/runtime failure of the fused path
-        print(" WARNING: fused-kernel path failed "
+    except Exception as e:
+        if not is_compile_failure(e):
+            raise
+        print(" WARNING: fused-kernel path failed to compile "
               f"({type(e).__name__}: {str(e).splitlines()[0][:120]}); "
               "retrying with the XLA path", file=sys.stderr)
         return solve("xla")

@@ -27,7 +27,6 @@ from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
-from scipy.io import netcdf_file
 
 from ecckd_tpu import constants
 from ecckd_tpu.config import default_precision
@@ -43,20 +42,12 @@ def _content_hash(a: np.ndarray) -> int:
     return int.from_bytes(h.digest(), "little")
 
 
-def _read(var) -> np.ndarray:
-    """Materialize a scipy netcdf variable as a native-endian numpy array."""
-    data = np.asarray(var.data)
-    return data.astype(data.dtype.newbyteorder("="), copy=True)
-
-
-class _CkdFile:
-    """ckd-file reader facade: io/rfmip._NcFile (native engine preferred,
-    scipy fallback, file-dtype-exact reads) re-exported under the name the
-    loader uses.  One facade implementation serves both I/O surfaces."""
-
-    def __new__(cls, path: str):
-        from ecckd_tpu.io.rfmip import _NcFile
-        return _NcFile(path)
+def _CkdFile(path: str):
+    """ckd-file reader factory: io/rfmip._NcFile (native engine preferred,
+    scipy fallback, file-dtype-exact reads).  One reader implementation
+    serves both I/O surfaces."""
+    from ecckd_tpu.io.rfmip import _NcFile
+    return _NcFile(path)
 
 
 def load_ckd_model(path: str, dtype=None) -> CKDModel:

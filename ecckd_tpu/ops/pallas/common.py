@@ -198,7 +198,16 @@ def split_bf16(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
     convert pair to fold and is bitwise-RNE-identical to the convert for
     all |a| >= the smallest normal bf16 (below that the convert flushes to
     zero while this rounds to the nearest normal — immaterial here, and
-    hi + lo still reconstructs ``a`` more faithfully)."""
+    hi + lo still reconstructs ``a`` more faithfully).
+
+    Validity bound at the TOP end: inputs must satisfy |a| < ~bf16-max
+    (3.39e38).  RNE on the low mantissa bits can carry into the exponent,
+    so an f32 within half a bf16-ulp of f32-max (or a NaN payload) rounds
+    ``hi`` to inf and makes ``lo = a - inf = NaN``.  All operands here are
+    physical tables / interpolation weights (absorption coefficients,
+    Planck radiances, one-hot weights), orders of magnitude below the
+    bound, so this is a documented precondition rather than a runtime
+    check."""
     u = jax.lax.bitcast_convert_type(a.astype(F32), I32)
     r = (u + I32(0x7FFF) + ((u >> 16) & I32(1))) & I32(-65536)
     hi_f = jax.lax.bitcast_convert_type(r, F32)

