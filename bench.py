@@ -70,10 +70,12 @@ def run_configs(ncol: int = 65536) -> None:
     from ecckd_tpu.pipeline import lw_fluxes, lw_sw_fluxes
 
     setup_compilation_cache()
-    # Same correctness gate as the headline mode: a committed per-config
-    # throughput artifact from a wrong-flux kernel is worse than none.
+    # Same correctness gate as the headline mode, but over EVERY config
+    # this function times: a committed per-config throughput artifact from
+    # a wrong-flux kernel is worse than none.
+    parity_rels = {}
     if os.environ.get("ECCKD_BENCH_PARITY", "1") != "0":
-        _parity_gate()
+        parity_rels = _parity_gate(tuple(GATE_CASES))
     nlay = 60
     dtype = np.dtype("float32")
     lw = jax.device_put(load_ckd_model(LW_FILE, dtype=dtype))
@@ -123,7 +125,8 @@ def run_configs(ncol: int = 65536) -> None:
     mode = os.environ.get("ECCKD_MXU_PRECISION", "bf16x3")
     out = {"ncol": ncol, "nlay": nlay, "unit": "columns/s/chip",
            "mxu_precision": mode,
-           "configs": results}
+           "configs": results,
+           "parity_max_rel": parity_rels}
     name = ("BENCH_CONFIGS.json" if mode == "bf16x3"
             else f"BENCH_CONFIGS_{mode}.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -133,28 +136,47 @@ def run_configs(ncol: int = 65536) -> None:
     print(json.dumps(out))
 
 
-def _parity_gate() -> None:
+# Every timed config maps to a gate recipe (kind, lw_model, n_angles):
+# NO shipped throughput number may lack an on-chip parity check of its
+# exact program (VERDICT r3 weak #2).
+GATE_CASES = {
+    "lw_fsck+sw_wide_1ang": ("merged", "fsck", 1),
+    "lw_rrtmgp+sw_wide_1ang": ("merged", "rrtmgp", 1),
+    "lw_fsck_3ang": ("lw", "fsck", 3),
+    "lw_rrtmgp_1ang": ("lw", "rrtmgp", 1),
+    "lw_rrtmgp_3ang": ("lw", "rrtmgp", 3),
+}
+
+
+def _parity_gate(case_names=("lw_fsck+sw_wide_1ang",)) -> dict:
     """Fused-vs-CPU-XLA correctness gate run before timing (skip with
     ECCKD_BENCH_PARITY=0).  A throughput number from a kernel producing
     wrong fluxes is worse than no number: interpret-mode tests cannot see
     Mosaic lowering/BlockSpec bugs (docs/DESIGN.md), so the bench checks
-    the exact path it times, on the chip, against the CPU-XLA anchor on a
-    small heterogeneous multi-tile batch (tools/chip_parity.py's batch)."""
+    the exact programs it times, on the chip, against the CPU-XLA anchor
+    on a small heterogeneous multi-tile batch (tools/chip_parity.py's
+    batch).  Returns {case: max_rel}; exits 1 if any case is out of
+    bound."""
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tools"))
     import chip_parity
     import jax
     import numpy as np
     from ecckd_tpu.models.loader import load_ckd_model
-    from ecckd_tpu.pipeline import lw_sw_fluxes
+    from ecckd_tpu.pipeline import lw_fluxes, lw_sw_fluxes
 
     mode = os.environ.get("ECCKD_MXU_PRECISION", "bf16x3")
     bound = chip_parity.BOUNDS.get(mode, 5.0e-4)
     b = chip_parity.adversarial_batch(ncol=293, nlay=60)
-    lw = load_ckd_model(LW_FILE, dtype=np.dtype(np.float32))
+    lw_models = {"fsck": load_ckd_model(LW_FILE, dtype=np.dtype(np.float32)),
+                 "rrtmgp": load_ckd_model(LW_RRTMGP_FILE,
+                                          dtype=np.dtype(np.float32))}
     sw = load_ckd_model(SW_FILE, dtype=np.dtype(np.float32))
-    args = (b["plev"], b["tlay"], b["tlev"], b["tsfc"], b["emis"],
-            b["concs"], b["alb"], b["tsi"], b["sza"])
+    margs = (b["plev"], b["tlay"], b["tlev"], b["tsfc"], b["emis"],
+             b["concs"], b["alb"], b["tsi"], b["sza"])
+    largs = (b["plev"], b["tlay"], b["tlev"], b["tsfc"], b["emis"],
+             b["concs"])
+
     # Both legs jitted: unjitted, every prep op dispatches individually
     # over the tunneled-chip transport (~10 ms each); jitted, the persistent
     # compilation cache makes the gate a one-time cost per code change.
@@ -163,40 +185,65 @@ def _parity_gate() -> None:
     # populated on a different machine can load a foreign binary into the
     # reference computation ("SIGILL"-class warning observed in round 2's
     # BENCH tail) — the anchor must be compiled fresh on this host.
-    cache_dir = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
-    try:
-        with jax.default_device(jax.devices("cpu")[0]):
-            ref_fn = jax.jit(lambda ml, ms, *a: lw_sw_fluxes(
-                ml, ms, *a, n_gauss_angles=1, backend="xla"))
-            ref_lw, ref_sw = ref_fn(lw, sw, *args)
-            ref_lw = jax.tree_util.tree_map(np.asarray, ref_lw)
-            ref_sw = jax.tree_util.tree_map(np.asarray, ref_sw)
-    finally:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-    got_lw, got_sw = jax.jit(lambda ml, ms, *a: lw_sw_fluxes(
-        ml, ms, *a, n_gauss_angles=1))(lw, sw, *args)
-    rel_lw, _ = chip_parity._max_rel((got_lw.flux_up, got_lw.flux_dn),
-                                     ref_lw.flux_up, ref_lw.flux_dn)
-    rel_sw, _ = chip_parity._max_rel((got_sw.flux_up, got_sw.flux_dn),
-                                     ref_sw.flux_up, ref_sw.flux_dn)
-    worst = max(rel_lw, rel_sw)
-    if worst > bound:
-        # Per-band errors so a failure self-localizes (lw-only points at
-        # Planck/linear-in-tau; both bands points at the shared gas-optics
-        # contraction or prep).
+    def cpu_anchor(fn, *fn_args):
+        cache_dir = jax.config.jax_compilation_cache_dir
+        jax.config.update("jax_compilation_cache_dir", None)
+        try:
+            with jax.default_device(jax.devices("cpu")[0]):
+                return jax.tree_util.tree_map(np.asarray,
+                                              jax.jit(fn)(*fn_args))
+        finally:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+
+    rels = {}
+    ok = True
+    for name in case_names:
+        kind, lw_name, nang = GATE_CASES[name]
+        lwm = lw_models[lw_name]
+        if kind == "merged":
+            ref_lw, ref_sw = cpu_anchor(
+                lambda ml, ms, *a: lw_sw_fluxes(ml, ms, *a,
+                                                n_gauss_angles=1,
+                                                backend="xla"),
+                lwm, sw, *margs)
+            got_lw, got_sw = jax.jit(lambda ml, ms, *a: lw_sw_fluxes(
+                ml, ms, *a, n_gauss_angles=1))(lwm, sw, *margs)
+            rel_lw, _ = chip_parity._max_rel(
+                (got_lw.flux_up, got_lw.flux_dn), ref_lw.flux_up,
+                ref_lw.flux_dn)
+            rel_sw, _ = chip_parity._max_rel(
+                (got_sw.flux_up, got_sw.flux_dn), ref_sw.flux_up,
+                ref_sw.flux_dn)
+            # Per-band errors so a failure self-localizes (lw-only points
+            # at Planck/linear-in-tau; both bands at the shared gas-optics
+            # contraction or prep).
+            rels[name] = {"max_rel": max(rel_lw, rel_sw),
+                          "lw": rel_lw, "sw": rel_sw}
+        else:
+            ref = cpu_anchor(
+                lambda m, *a: lw_fluxes(m, *a, n_gauss_angles=nang,
+                                        backend="xla"), lwm, *largs)
+            got = jax.jit(lambda m, *a: lw_fluxes(
+                m, *a, n_gauss_angles=nang))(lwm, *largs)
+            rel, _ = chip_parity._max_rel((got.flux_up, got.flux_dn),
+                                          ref.flux_up, ref.flux_dn)
+            rels[name] = {"max_rel": rel}
+        case_ok = rels[name]["max_rel"] <= bound
+        ok = ok and case_ok
+        print(f"# bench parity gate [{name}]: max_rel "
+              f"{rels[name]['max_rel']:.3e} "
+              f"{'OK' if case_ok else 'FAILED'} (bound {bound:.1e}, {mode})",
+              file=sys.stderr)
+    if not ok:
+        worst = max(r["max_rel"] for r in rels.values())
         print(json.dumps({"metric": "rfmip_lw+sw_flux_solve_throughput",
                           "value": 0.0, "unit": "columns/s/chip",
                           "vs_baseline": 0.0, "parity_ok": False,
                           "parity_max_rel": worst,
-                          "parity_max_rel_lw": rel_lw,
-                          "parity_max_rel_sw": rel_sw}))
-        print(f"bench parity gate FAILED: max_rel {worst:.3e} > "
-              f"bound {bound:.1e} ({mode}) "
-              f"[lw {rel_lw:.3e} sw {rel_sw:.3e}]", file=sys.stderr)
+                          "parity_cases": {k: r["max_rel"]
+                                           for k, r in rels.items()}}))
         raise SystemExit(1)
-    print(f"# bench parity gate OK: max_rel {worst:.3e} <= {bound:.1e} "
-          f"({mode})", file=sys.stderr)
+    return {k: r["max_rel"] for k, r in rels.items()}
 
 
 def run_bench(mode: str) -> None:

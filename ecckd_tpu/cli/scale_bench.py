@@ -40,6 +40,20 @@ def main(argv=None) -> int:
                    help="If set, write rlu/rld/rsu/rsd .npy memmaps there "
                         "(host writes overlap device compute)")
     p.add_argument("--no-shard", action="store_true")
+    p.add_argument("--outputs", default="full",
+                   choices=("full", "boundary", "toa-net"),
+                   help="Streamed outputs per column: 'full' = all four "
+                        "broadband flux profiles (~1 KB/col), 'boundary' = "
+                        "OLR / surface-down per band (16 B/col), 'toa-net' "
+                        "= net TOA radiation (4 B/col).  The reduced modes "
+                        "exist to measure the stream_chunks overlap where "
+                        "COMPUTE, not D2H transport, is the bottleneck: "
+                        "through this dev chip's ~30 MB/s tunneled relay "
+                        "the full profiles can never be compute-bound "
+                        "(SCALE_CHIP.json), while the machinery under "
+                        "test — async dispatch, copy_to_host_async, "
+                        "one-chunk-behind host consumption — is identical "
+                        "in every mode")
     p.add_argument("--resume", action="store_true",
                    help="Restart-at-chunk: skip chunks recorded as done in "
                         "<out-dir>/progress.json (requires --out-dir)")
@@ -67,13 +81,22 @@ def main(argv=None) -> int:
     lw = place_pytree(load_ckd_model(args.lw_file, dtype=dtype), mesh, -1)
     sw = place_pytree(load_ckd_model(args.sw_file, dtype=dtype), mesh, -1)
 
+    outputs_mode = args.outputs
+
     @jax.jit
     def step(lw_m, sw_m, plev, tlay, tlev, tsfc, emis, alb, tsi, sza, concs):
         # Merged LW+SW mega-kernel on TPU (one shared interpolation pass,
         # ops/pallas/lwsw.py); separate pipelines elsewhere.
         flw, fsw = lw_sw_fluxes(lw_m, sw_m, plev, tlay, tlev, tsfc, emis,
                                 concs, alb, tsi, sza, n_gauss_angles=1)
-        return (flw.flux_up, flw.flux_dn, fsw.flux_up, fsw.flux_dn)
+        if outputs_mode == "full":
+            return (flw.flux_up, flw.flux_dn, fsw.flux_up, fsw.flux_dn)
+        if outputs_mode == "boundary":
+            # OLR, LW surface heating, reflected SW, SW surface insolation.
+            return (flw.flux_up[:, 0], flw.flux_dn[:, -1],
+                    fsw.flux_up[:, 0], fsw.flux_dn[:, -1])
+        # toa-net: net downward radiation at TOA (the climate diagnostic).
+        return (fsw.flux_dn[:, 0] - fsw.flux_up[:, 0] - flw.flux_up[:, 0],)
 
     # Weak-scaling input: one RFMIP-shaped base chunk, device-placed ONCE;
     # per-chunk only the surface temperature is re-uploaded (perturbed so
@@ -107,22 +130,27 @@ def main(argv=None) -> int:
             print(f"# resuming: {len(done)}/{n_chunks} chunks already done",
                   file=sys.stderr)
         mode = "r+" if (args.resume and done) else "w+"
+        out_spec = {
+            "full": (("rlu", "rld", "rsu", "rsd"), (args.columns, nlev)),
+            "boundary": (("olr", "rlds", "rsut", "rsds"), (args.columns,)),
+            "toa-net": (("toa_net",), (args.columns,)),
+        }[outputs_mode]
         maps = {name: np.lib.format.open_memmap(
                     os.path.join(args.out_dir, f"{name}.npy"), mode=mode,
-                    dtype=dtype, shape=(args.columns, nlev))
-                for name in ("rlu", "rld", "rsu", "rsd")}
+                    dtype=dtype, shape=out_spec[1])
+                for name in out_spec[0]}
         for name, m in maps.items():
             # open_memmap(mode="r+") keeps the existing on-disk header: a
             # resume with different --columns/--nlay must fail fast, not
             # IndexError hours into the run (or silently keep stale rows).
-            if m.shape != (args.columns, nlev):
+            if m.shape != out_spec[1]:
                 p.error(f"{name}.npy has shape {m.shape}; this run needs "
-                        f"({args.columns}, {nlev}) — wrong --columns/--nlay "
+                        f"{out_spec[1]} — wrong --columns/--nlay "
                         "for --resume")
 
         def consume(host_outs, i):
             s = slice(i * args.chunk, (i + 1) * args.chunk)
-            for name, arr in zip(("rlu", "rld", "rsu", "rsd"), host_outs):
+            for name, arr in zip(out_spec[0], host_outs):
                 maps[name][s] = arr
             done.add(int(i))
             with open(progress_path, "w") as f:
@@ -139,7 +167,8 @@ def main(argv=None) -> int:
     metrics = {k: (round(v, 4) if isinstance(v, float) else v)
                for k, v in metrics.items()}
     print(json.dumps({"metric": "weak_scaling_lw+sw_throughput",
-                      "unit": "columns/s", **metrics}))
+                      "unit": "columns/s", "outputs": outputs_mode,
+                      **metrics}))
     return 0
 
 

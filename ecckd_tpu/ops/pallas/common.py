@@ -365,6 +365,9 @@ def pressure_temperature_index(log_p, t_lay, t_first_ref, log_p0, inv_dlogp,
     return i0p, wp1, i0t, wt1
 
 
+FILL_UNROLL_MAX = int(os.environ.get("ECCKD_FILL_UNROLL_MAX", "8"))
+
+
 def fill_lane_blocks(dst, src, n_blk, lb):
     """Fill layer-blocked scratch ``dst`` (n_blk, lb*C) — or (n, n_blk,
     lb*C) for a stacked leading axis — from a ROW-MAJOR input ref ``src``
@@ -373,23 +376,32 @@ def fill_lane_blocks(dst, src, n_blk, lb):
     doing the relayout here replaces a strided XLA relayout pass that
     measured ~10x off HBM speed of light (see lw._rows_t).
 
-    Fully Python-unrolled: n_blk*lb copies per array (plus n*n_blk*lb for
-    a stacked vmr input) are emitted once per kernel trace — measured fine
-    at the RFMIP scale (nlay <= 60, ~5 arrays).  For much deeper
-    atmospheres (nlay ~ 137+) this would grow Mosaic compile time and
-    instruction count; switch the outer loop to fori32 then (``b`` only
-    feeds static-stride pl.ds slices, so a traced ``b`` works)."""
+    The block loop is Python-unrolled up to FILL_UNROLL_MAX blocks
+    (RFMIP depth: nlay=60 / lb=10 -> 6-7 blocks) and a lax.fori_loop
+    beyond that: the unrolled form emits n_blk*lb copies per array (plus
+    n*n_blk*lb for a stacked vmr input) per kernel trace, which grows
+    Mosaic compile time/instruction count on deep atmospheres (nlay ~
+    137+).  ``b`` only feeds dynamic-start pl.ds slices, so a traced
+    loop index works; the in-block ``l`` offsets stay static."""
     import jax.experimental.pallas as pl
-    if len(src.shape) == 3:
-        for v in range(src.shape[0]):
+    stacked = len(src.shape) == 3
+
+    def copy_block(v, b):
+        row = jnp.concatenate(
+            [(src[v, pl.ds(b * lb + l, 1), :] if stacked
+              else src[pl.ds(b * lb + l, 1), :]) for l in range(lb)],
+            axis=1)
+        if stacked:
+            dst[v, pl.ds(b, 1), :] = row
+        else:
+            dst[pl.ds(b, 1), :] = row
+
+    for v in (range(src.shape[0]) if stacked else (None,)):
+        if n_blk > FILL_UNROLL_MAX:
+            fori32(0, n_blk, lambda b, c, v=v: (copy_block(v, b), c)[1], 0)
+        else:
             for b in range(n_blk):
-                dst[v, pl.ds(b, 1), :] = jnp.concatenate(
-                    [src[v, pl.ds(b * lb + l, 1), :] for l in range(lb)],
-                    axis=1)
-    else:
-        for b in range(n_blk):
-            dst[pl.ds(b, 1), :] = jnp.concatenate(
-                [src[pl.ds(b * lb + l, 1), :] for l in range(lb)], axis=1)
+                copy_block(v, b)
 
 
 def gas_tau_block_multi(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,

@@ -217,8 +217,34 @@ def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
 # so ~9 points/block + column jitter); 16 points * 8 t-slots = 128 rows =
 # exactly one MXU contraction depth.  Larger windows measured a cliff
 # (129+ rows -> two MXU passes).
-LAYER_BLOCK = int(os.environ.get("ECCKD_LAYER_BLOCK", "10"))
+_LAYER_BLOCK_ENV = os.environ.get("ECCKD_LAYER_BLOCK")
+LAYER_BLOCK = int(_LAYER_BLOCK_ENV) if _LAYER_BLOCK_ENV else 10
 P_WINDOW = int(os.environ.get("ECCKD_PWINDOW", "16"))
+
+
+def derive_layer_block(nlay: int, n_p: int) -> int:
+    """Layers per lane block, derived from the atmosphere depth and the
+    model's pressure-grid resolution (ECCKD_LAYER_BLOCK overrides).
+
+    Constraint: a block's worst-case pressure-grid span — columns
+    covering the whole table give (n_p - 1) / nlay grid points per layer
+    — plus the cross-column pressure spread inside a column tile
+    (~5 points measured on the adversarial parity batch) must fit the
+    P_WINDOW-point contraction window with its 2-point interpolation
+    margin.  Otherwise every block takes the full-table cond fallback:
+    measured -50% end-to-end at nlay=60 with lb=15 (docs/DESIGN.md
+    non-levers).  The cap of 10 is the measured RFMIP-depth optimum
+    (lb=12 neutral, VMEM scratch grows linearly in lb).
+
+    P_WINDOW itself stays fixed at 16: 16 pressure points x 8 t-slots =
+    128 sublane rows = exactly one MXU contraction depth; a larger
+    window is a second MXU pass, a smaller one returns nothing
+    (occupancy-bound below 128 rows, docs/DESIGN.md)."""
+    if _LAYER_BLOCK_ENV:
+        return int(_LAYER_BLOCK_ENV)
+    span_per_layer = max(n_p - 1, 1) / max(nlay, 1)
+    margin = P_WINDOW - 7   # 2-pt interp margin + ~5-pt cross-column spread
+    return max(1, min(10, nlay, int(margin / span_per_layer)))
 # Mole-fraction window (h2o LUT): a 10-layer block spans 1-3 points of the
 # log-uniform 12-point vmr axis (~0.46 decades/point; tropospheric h2o falls
 # ~1 decade per ~8 RFMIP layers), so 4 slices cover i0v..i0v+1 everywhere
@@ -369,7 +395,7 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
 
     ct = LW_COL_TILE
     ncol_pad = ((ncol + ct - 1) // ct) * ct
-    lb = LAYER_BLOCK
+    lb = derive_layer_block(nlay, p.n_p)
     n_blk = -(-nlay // lb)
     n_blk_lev = -(-(nlay + 1) // lb)
     rows_pad = n_blk * lb

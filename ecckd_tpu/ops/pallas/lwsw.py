@@ -30,10 +30,10 @@ from ecckd_tpu import constants
 from ecckd_tpu.gases import GasConcs
 from ecckd_tpu.models.ckd import CKDModel
 from ecckd_tpu.ops.pallas import common, plan as plan_mod
-from ecckd_tpu.ops.pallas.lw import (COL_TILE, INKERNEL_BLOCK, LAYER_BLOCK,
-                                     P_WINDOW, UNROLL_BLOCKS, V_WINDOW,
-                                     _block_cols, _block_lanes,
-                                     _pad_cols, _pad_rows, _rows_t)
+from ecckd_tpu.ops.pallas.lw import (COL_TILE, INKERNEL_BLOCK, P_WINDOW,
+                                     UNROLL_BLOCKS, V_WINDOW, _block_cols,
+                                     _block_lanes, _pad_cols, _pad_rows,
+                                     _rows_t, derive_layer_block)
 from ecckd_tpu.solvers.quadrature import gauss_angles
 
 F32 = jnp.float32
@@ -323,7 +323,7 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
 
     ct = COL_TILE
     ncol_pad = ((ncol + ct - 1) // ct) * ct
-    lb = LAYER_BLOCK
+    lb = derive_layer_block(nlay, p_lw.n_p)
     n_blk = -(-nlay // lb)
     n_blk_lev = -(-(nlay + 1) // lb)
     rows_pad = n_blk * lb

@@ -26,12 +26,12 @@ from ecckd_tpu import constants
 from ecckd_tpu.gases import GasConcs
 from ecckd_tpu.models.ckd import CKDModel
 from ecckd_tpu.ops.pallas import common, plan as plan_mod
-from ecckd_tpu.ops.pallas.lw import (COL_TILE, INKERNEL_BLOCK, LAYER_BLOCK,
+from ecckd_tpu.ops.pallas.lw import (COL_TILE, INKERNEL_BLOCK,
                                      P_INV_DLOGP, P_INV_DLOGV, P_INV_DT,
                                      P_LOG_MF0, P_LOG_P0, P_WINDOW,
                                      UNROLL_BLOCKS, V_WINDOW,
                                      _block_cols, _block_lanes, _pad_cols,
-                                     _pad_rows, _rows_t)
+                                     _pad_rows, _rows_t, derive_layer_block)
 
 F32 = jnp.float32
 
@@ -218,7 +218,7 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     ncol_pad = ((ncol + COL_TILE - 1) // COL_TILE) * COL_TILE
     # Single binding for the layer-block size: rows_pad, the blk/blkc
     # relayouts, the kernel and the scratch shapes must all agree on it.
-    lb = LAYER_BLOCK
+    lb = derive_layer_block(nlay, p.n_p)
     n_blk = -(-nlay // lb)
     rows_pad = n_blk * lb
     if INKERNEL_BLOCK:

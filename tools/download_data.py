@@ -44,10 +44,27 @@ TEMPLATES = [
     "rsu_Efx_RTE-RRTMGP-181204_rad-irf_r1i1p1f1_gn.nc",
 ]
 
+# BASELINE config 3's second ckd file — absent from the reference
+# snapshot (/root/reference/.MISSING_LARGE_BLOBS:1), only recoverable
+# over the network.  Upstream ships it IN-REPO (earth-system-radiation/
+# rte-ecckd data/), so the candidates are the GitHub raw/LFS endpoints
+# for that path on either default-branch name.
+CKD_MISSING = "ecckd-1.2_lw_ckd-definition_climate_rrtmgp-tol0.0161.nc"
+CKD_URLS = [
+    ("https://media.githubusercontent.com/media/earth-system-radiation/"
+     f"rte-ecckd/{branch}/data/{CKD_MISSING}")
+    for branch in ("main", "master")
+] + [
+    ("https://raw.githubusercontent.com/earth-system-radiation/"
+     f"rte-ecckd/{branch}/data/{CKD_MISSING}")
+    for branch in ("main", "master")
+]
+
 # sha256 digests, pinned after the first successful download (None =>
 # unverified; the script prints the digest so it can be pinned here).
 SHA256: dict[str, str | None] = {
     RFMIP_INPUT: None,
+    CKD_MISSING: None,
     **{t: None for t in TEMPLATES},
 }
 
@@ -60,22 +77,27 @@ def _sha256(path: Path) -> str:
     return h.hexdigest()
 
 
-def fetch(name: str, dest: Path) -> Path:
+def fetch(name: str, dest: Path, urls=None) -> Path:
     out = dest / name
     if out.exists():
         print(f"  {name}: already present")
     else:
-        url = BASE + name
-        print(f"  {name}: fetching {url}")
-        tmp = out.with_suffix(".part")
-        try:
-            with urllib.request.urlopen(url, timeout=120) as r, \
-                    open(tmp, "wb") as f:
-                shutil.copyfileobj(r, f)
-        except Exception as e:
-            tmp.unlink(missing_ok=True)
-            raise RuntimeError(f"download failed for {name}: {e}") from e
-        tmp.rename(out)
+        errors = []
+        for url in (urls or [BASE + name]):
+            print(f"  {name}: fetching {url}")
+            tmp = out.with_suffix(".part")
+            try:
+                with urllib.request.urlopen(url, timeout=120) as r, \
+                        open(tmp, "wb") as f:
+                    shutil.copyfileobj(r, f)
+                tmp.rename(out)
+                break
+            except Exception as e:
+                tmp.unlink(missing_ok=True)
+                errors.append(f"{url}: {type(e).__name__}: {e}")
+        else:
+            raise RuntimeError(f"download failed for {name}: "
+                               + "; ".join(errors))
     digest = _sha256(out)
     pinned = SHA256.get(name)
     if pinned is None:
@@ -111,6 +133,7 @@ def main(argv=None) -> int:
     print(f"Downloading RFMIP RAD-IRF data into {dest}/")
     try:
         fetch(RFMIP_INPUT, dest)
+        fetch(CKD_MISSING, dest, urls=CKD_URLS)
         for t in TEMPLATES:
             src = fetch(t, dest)
             # The reference renames templates to RTE-ecckd for the drivers

@@ -1,0 +1,186 @@
+"""On-chip shape-generality sweep -> SHAPES_CHIP.json (VERDICT r3 #3).
+
+The fused kernels' blocking parameters are derived from the atmosphere
+depth (ops/pallas/lw.py:derive_layer_block); this tool proves, ON THE
+REAL TPU, that the derivation holds across the depths real NWP/climate
+grids use — 30 (coarse climate), 47 (MERRA-2), 60 (RFMIP/CKDMIP), 91 and
+137 (ECMWF L91/L137) — at odd, non-tile-multiple column counts:
+
+  * PARITY per shape: merged LW+SW fused kernel, jitted with the model
+    pytrees as jit ARGUMENTS (the shipped execution mode), vs the f64
+    XLA path on the host CPU backend (the deep-column-safe anchor — the
+    CPU f32 anchor's own error grows to ~8e-5 on 1-Pa-to-surface
+    columns, .claude/skills/verify/SKILL.md).
+  * THROUGHPUT per shape: in-process batched-dispatch columns/s at 65536
+    columns (the only timing protocol that is meaningful through the
+    tunneled chip), plus work-rate columns*layers/s to expose fallback
+    cliffs (work per column scales ~linearly in nlay, so a shape whose
+    work rate collapses relative to its neighbors has fallen off the
+    pressure-window fast path).
+  * COMPILE time per shape: wall seconds of the first jitted call
+    (genuinely cold on the first-ever run of a shape; persistent-cache
+    warm after) — bounds the fill_lane_blocks / solver-sweep unroll
+    growth at 137 layers.
+
+Usage:  python tools/shape_sweep_chip.py [--out SHAPES_CHIP.json]
+Exit 1 if any shape exceeds the parity bound.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+LW = ("/root/reference/data/"
+      "ecckd-1.2_lw_ckd-definition_climate_fsck-tol0.0161.nc")
+SW = ("/root/reference/data/"
+      "ecckd-1.2_sw_ckd-definition_climate_wide-tol0.05.nc")
+
+# (nlay, parity ncol): odd + non-multiple of both the 128 and 256 tiles.
+SHAPES = [(30, 293), (47, 331), (60, 293), (91, 275), (137, 261)]
+BOUND = 5.0e-5           # bf16x3 contract vs the f64 anchor
+NCOL_TIME = 65536
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tools/shape_sweep_chip.py")
+    ap.add_argument("--out", default=os.path.join(_REPO_ROOT,
+                                                  "SHAPES_CHIP.json"))
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    import jax
+    # x64 is enabled ONLY around the f64 CPU-anchor legs (scoped
+    # jax.experimental.enable_x64): enabling it globally makes the pallas
+    # kernel trace recurse on int-literal promotion (measured
+    # RecursionError), and the chip legs must run the exact shipped f32
+    # programs anyway.
+    from ecckd_tpu.cli.common import setup_compilation_cache
+    setup_compilation_cache()
+    assert jax.default_backend() != "cpu", "sweep needs the real TPU"
+    cpu = jax.devices("cpu")[0]
+
+    import jax.numpy as jnp
+    import chip_parity
+    from ecckd_tpu.models.loader import load_ckd_model
+    from ecckd_tpu.ops.pallas.lw import derive_layer_block
+    from ecckd_tpu.pipeline import lw_sw_fluxes
+
+    lw32 = load_ckd_model(LW, dtype=np.dtype(np.float32))
+    sw32 = load_ckd_model(SW, dtype=np.dtype(np.float32))
+    lw64 = load_ckd_model(LW, dtype=np.dtype(np.float64))
+    sw64 = load_ckd_model(SW, dtype=np.dtype(np.float64))
+
+    fused = jax.jit(lambda ml, ms, *a: lw_sw_fluxes(ml, ms, *a,
+                                                    n_gauss_angles=1))
+    results = {}
+    ok = True
+    for nlay, ncol in SHAPES:
+        b = chip_parity.adversarial_batch(ncol, nlay)
+        margs = (b["plev"], b["tlay"], b["tlev"], b["tsfc"], b["emis"],
+                 b["concs"], b["alb"], b["tsi"], b["sza"])
+        f64 = lambda x: jax.tree_util.tree_map(
+            lambda v: (np.asarray(v, np.float64)
+                       if isinstance(v, np.ndarray)
+                       and v.dtype == np.float32 else v), x)
+        # x64 toggled on only for this anchor trace (jit captures the
+        # flag at trace time), then restored before any chip-leg trace.
+        # The persistent cache is bypassed for the anchor: XLA:CPU AOT
+        # executables are keyed without host CPU features, so a cache
+        # populated on a different machine can load a foreign binary into
+        # the reference computation (bench.py has the same guard).
+        cache_dir = jax.config.jax_compilation_cache_dir
+        jax.config.update("jax_enable_x64", True)
+        jax.config.update("jax_compilation_cache_dir", None)
+        try:
+            with jax.default_device(cpu):
+                ref_lw, ref_sw = jax.jit(
+                    lambda ml, ms, *a: lw_sw_fluxes(ml, ms, *a,
+                                                    n_gauss_angles=1,
+                                                    backend="xla"))(
+                    lw64, sw64, *f64(margs))
+                ref_lw = jax.tree_util.tree_map(np.asarray, ref_lw)
+                ref_sw = jax.tree_util.tree_map(np.asarray, ref_sw)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+
+        t0 = time.perf_counter()
+        got_lw, got_sw = fused(lw32, sw32, *margs)
+        float(jnp.sum(got_lw.flux_up[:, 0]))   # completion barrier
+        compile_s = time.perf_counter() - t0
+        rel_lw, _ = chip_parity._max_rel((got_lw.flux_up, got_lw.flux_dn),
+                                         ref_lw.flux_up, ref_lw.flux_dn)
+        rel_sw, _ = chip_parity._max_rel((got_sw.flux_up, got_sw.flux_dn),
+                                         ref_sw.flux_up, ref_sw.flux_dn)
+
+        # Throughput at NCOL_TIME columns on the RFMIP-SHAPED batch (the
+        # headline workload class, io/synthetic.py) so the numbers are
+        # comparable to bench.py's 60-layer figure; the adversarial batch
+        # above (full-decade pressure spreads -> frequent full-table cond
+        # fallbacks) gates correctness, not speed.
+        from ecckd_tpu.io.synthetic import example_flux_batch
+        bb = example_flux_batch(NCOL_TIME, nlay, np.float32)
+        big = {k: (jax.device_put(v) if k != "concs"
+                   else jax.tree_util.tree_map(jax.device_put, v))
+               for k, v in bb.items()}
+        bargs = (big["plev"], big["tlay"], big["tlev"], big["tsfc"],
+                 big["emis"], big["concs"], big["alb"], big["tsi"],
+                 big["sza"])
+        lw_dev, sw_dev = jax.device_put(lw32), jax.device_put(sw32)
+
+        def step():
+            f1, f2 = fused(lw_dev, sw_dev, *bargs)
+            return jnp.sum(f1.flux_up[:, 0]) + jnp.sum(f2.flux_up[:, 0])
+
+        float(step()); float(step())            # warmup + big-shape compile
+        t0 = time.perf_counter()
+        acc = step()
+        for _ in range(args.iters - 1):
+            acc = acc + step()
+        float(acc)
+        cols_s = NCOL_TIME * args.iters / (time.perf_counter() - t0)
+
+        shape_ok = max(rel_lw, rel_sw) <= BOUND
+        ok = ok and shape_ok
+        results[f"nlay{nlay}_ncol{ncol}"] = {
+            "nlay": nlay, "parity_ncol": ncol,
+            "layer_block": derive_layer_block(nlay, 53),
+            "parity_max_rel_lw": rel_lw, "parity_max_rel_sw": rel_sw,
+            "parity_ok": shape_ok,
+            "first_call_seconds": round(compile_s, 2),
+            "columns_per_sec": round(cols_s, 1),
+            "col_layers_per_sec": round(cols_s * nlay, 1),
+        }
+        print(f"  nlay={nlay:3d} ncol={ncol}: lb="
+              f"{results[f'nlay{nlay}_ncol{ncol}']['layer_block']} "
+              f"rel_lw={rel_lw:.2e} rel_sw={rel_sw:.2e} "
+              f"{'OK' if shape_ok else 'FAIL'} "
+              f"compile={compile_s:.1f}s "
+              f"{cols_s/1e6:.2f}M cols/s "
+              f"({cols_s*nlay/1e6:.0f}M col-layers/s)", file=sys.stderr)
+
+    import datetime
+    out = {"generated_by": "tools/shape_sweep_chip.py",
+           "date": datetime.date.today().isoformat(),
+           "anchor": "XLA path, float64, host CPU backend",
+           "bound": BOUND, "ncol_timing": NCOL_TIME,
+           "mxu_precision": os.environ.get("ECCKD_MXU_PRECISION", "bf16x3"),
+           "pass": ok, "shapes": results}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(f"shape sweep: {'PASS' if ok else 'FAIL'} -> {args.out}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
