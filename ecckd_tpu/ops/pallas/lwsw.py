@@ -18,6 +18,7 @@ physics index 1; 3-angle LW falls back to the separate kernels).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -42,6 +43,17 @@ F32 = jnp.float32
 (P_LOG_P0, P_INV_DLOGP, P_INV_DT, P_PLANCK_T0, P_INV_PLANCK_DT,
  P_LW_LOG_MF0, P_LW_INV_DLOGV, P_SW_LOG_MF0, P_SW_INV_DLOGV,
  P_NPARAMS) = range(10)
+
+# Fuse the FORWARD sweeps (LW down radiance, SW direct-beam attenuation)
+# into phase A: the layer blocks are produced in forward order, so the
+# in-block layers can advance both forward chains while the block's
+# coefficients are still in vregs.  Removes two of the eight per-block
+# scratch stores (the LW down-source and t_noscat — their only consumer
+# was the forward sweep) and the forward sweep's read-modify-writes.
+# Round-4 residual attribution (tools/probe_residual.py) measured the
+# scratch stores at 4.8 ms of the 28.5 ms epoch; this trades ~2/8 of
+# that plus the 0.57 ms forward sweep for in-loop chain work.
+FUSE_FWD = os.environ.get("ECCKD_FUSE_FWD", "1") == "1"
 
 
 def _lwsw_kernel(params_ref, t_first_ref,
@@ -112,8 +124,14 @@ def _lwsw_kernel(params_ref, t_first_ref,
 
     common.fori32(0, n_blk_lev, level_blk_eval, 0, unroll=UNROLL_BLOCKS)
 
+    w2pi = F32(2.0 * constants.PI * weight)
+    pad_tail = n_blk * lb > nlay   # static: padded layer rows exist
+
     # --- Phase A: ONE shared one-hot per block -> both models' taus,
-    # then each band's per-layer VPU math, all blocked. ------------------
+    # then each band's per-layer VPU math, all blocked.  With FUSE_FWD
+    # the forward chains (LW down radiance, SW direct attenuation)
+    # advance inside the block loop on the still-in-vreg coefficients
+    # (see the flag's rationale above). ----------------------------------
     def optics_block(b, carry):
         (tau_lw, tau_sw), d_p = common.gas_tau_block_multi(
             b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
@@ -132,9 +150,10 @@ def _lwsw_kernel(params_ref, t_first_ref,
         fact = jnp.where(ts > thresh,
                          omt / jnp.maximum(ts, thresh) - tr,
                          ts * (0.5 - ts * (1.0 / 3.0)))
+        src_dn = omt * lev_inc + 2.0 * fact * (play_blk - lev_inc)
+        src_up = omt * lev_dec + 2.0 * fact * (play_blk - lev_dec)
         blk_a_s[b] = tr
-        blk_b_s[b] = omt * lev_inc + 2.0 * fact * (play_blk - lev_inc)
-        blk_c_s[b] = omt * lev_dec + 2.0 * fact * (play_blk - lev_dec)
+        blk_c_s[b] = src_up
 
         # SW: tau-scaled cancellation-free two-stream with g = 0 — one
         # divide per block (common.two_stream_g0's derivation notes).
@@ -144,12 +163,46 @@ def _lwsw_kernel(params_ref, t_first_ref,
             tau, tau_ray, mu0_blk, inv_mu0_blk)
         rdif_s[b] = r_dif
         tdif_s[b] = t_dif
-        srcup_s[b] = r_dir
-        srcdn_s[b] = t_dir
-        denom_s[b] = t_noscat
-        return carry
+        if not FUSE_FWD:
+            blk_b_s[b] = src_dn
+            srcup_s[b] = r_dir
+            srcdn_s[b] = t_dir
+            denom_s[b] = t_noscat
+            return carry
 
-    common.fori32(0, n_blk, optics_block, 0, unroll=UNROLL_BLOCKS)
+        # Fused forward chains over this block's lb layers.  Padded layer
+        # rows (dp = 0) are exact identities for both chains (tr = 1,
+        # src = 0, t_noscat = 1), so only the per-level output writes need
+        # the bounds guard.
+        rad, direct = carry
+        su_chunks, sd_chunks = [], []
+        for l in range(lb):
+            sl = slice(l * ctile, (l + 1) * ctile)
+            rad = tr[:, sl] * rad + src_dn[:, sl]
+            su_chunks.append(r_dir[:, sl] * direct)
+            sd_chunks.append(t_dir[:, sl] * direct)
+            direct = t_noscat[:, sl] * direct
+            row = b * lb + (l + 1)
+            lwdn_row = w2pi * jnp.sum(rad, axis=0, keepdims=True)
+            swdn_row = jnp.sum(direct, axis=0, keepdims=True)
+            if pad_tail:
+                @pl.when(row <= nlay)
+                def _(row=row, lwdn_row=lwdn_row, swdn_row=swdn_row):
+                    lwdn_ref[pl.ds(row, 1), :] += lwdn_row
+                    swdn_ref[pl.ds(row, 1), :] = swdn_row
+            else:
+                lwdn_ref[pl.ds(row, 1), :] += lwdn_row
+                swdn_ref[pl.ds(row, 1), :] = swdn_row
+        srcup_s[b] = jnp.concatenate(su_chunks, axis=1)
+        srcdn_s[b] = jnp.concatenate(sd_chunks, axis=1)
+        return (rad, direct)
+
+    if FUSE_FWD:
+        rad0 = jnp.zeros_like(emis_ref[...])
+        rad, direct = common.fori32(0, n_blk, optics_block,
+                                    (rad0, dir_top), unroll=UNROLL_BLOCKS)
+    else:
+        common.fori32(0, n_blk, optics_block, 0, unroll=UNROLL_BLOCKS)
 
     def chunk(ref, j):
         """Static (NG, C) view of layer/level j from blocked scratch."""
@@ -168,21 +221,22 @@ def _lwsw_kernel(params_ref, t_first_ref,
     # ~0.2-0.7 ms): the sweeps are NOT the place to hunt.  Kept fused for
     # structure; per-step math is op-for-op identical to the separate
     # sweeps (bitwise fluxes, test_lwsw_merged_matches_separate).
-    # Forward: LW down radiance + SW direct-beam attenuation (sw phase A1).
+    # Forward: LW down radiance + SW direct-beam attenuation (sw phase
+    # A1) — already advanced inside phase A when FUSE_FWD.
     sfc_src = planck(tsfc_ref[...])
     emis = emis_ref[...]
-    w2pi = F32(2.0 * constants.PI * weight)
-    rad = jnp.zeros_like(sfc_src)
-    direct = dir_top
-    for j in range(nlay):
-        rad = chunk(blk_a_s, j) * rad + chunk(blk_b_s, j)
-        lwdn_ref[pl.ds(j + 1, 1), :] += w2pi * jnp.sum(
-            rad, axis=0, keepdims=True)
-        chunk_set(srcup_s, j, chunk(srcup_s, j) * direct)
-        chunk_set(srcdn_s, j, chunk(srcdn_s, j) * direct)
-        direct = chunk(denom_s, j) * direct
-        swdn_ref[pl.ds(j + 1, 1), :] = jnp.sum(direct, axis=0,
-                                               keepdims=True)
+    if not FUSE_FWD:
+        rad = jnp.zeros_like(sfc_src)
+        direct = dir_top
+        for j in range(nlay):
+            rad = chunk(blk_a_s, j) * rad + chunk(blk_b_s, j)
+            lwdn_ref[pl.ds(j + 1, 1), :] += w2pi * jnp.sum(
+                rad, axis=0, keepdims=True)
+            chunk_set(srcup_s, j, chunk(srcup_s, j) * direct)
+            chunk_set(srcdn_s, j, chunk(srcdn_s, j) * direct)
+            direct = chunk(denom_s, j) * direct
+            swdn_ref[pl.ds(j + 1, 1), :] = jnp.sum(direct, axis=0,
+                                                   keepdims=True)
     dir_sfc = direct
 
     # Surface boundary conditions of both backward chains.
@@ -411,7 +465,9 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
         out_shape=[jax.ShapeDtypeStruct((nlev, ncol_pad), F32)] * 4,
         scratch_shapes=[
             pltpu.VMEM((n_blk, ng_lw, lb * ct), F32),     # lw trans
-            pltpu.VMEM((n_blk, ng_lw, lb * ct), F32),     # lw src dn
+            # lw src dn: consumed in-loop when the forward sweep is fused
+            # into phase A — keep only a dummy block then.
+            pltpu.VMEM((1 if FUSE_FWD else n_blk, ng_lw, lb * ct), F32),
             pltpu.VMEM((n_blk, ng_lw, lb * ct), F32),     # lw src up
             pltpu.VMEM((n_blk_lev, ng_lw, lb * ct), F32),  # planck lev
             pltpu.VMEM((n_blk, ng_sw, lb * ct), F32),     # r_dif
