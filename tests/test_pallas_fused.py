@@ -312,3 +312,35 @@ def test_lw_fused_all_gases_unknown():
                                atol=3e-5 * scale)
     np.testing.assert_allclose(np.asarray(dn), np.asarray(ref.flux_dn),
                                atol=3e-5 * scale)
+
+
+def test_lwsw_fused_forward_matches_unfused():
+    """The fused-forward-sweep phase-A variant (lwsw.FUSE_FWD, round 4)
+    advances the LW-down/SW-direct chains in-block on the same values the
+    stored-scratch path reads back.  On the chip the two settings
+    measured BITWISE identical (tools A/B, drift 0.0); in interpret mode
+    XLA:CPU fuses the sliced multiply-adds differently (FMA contraction),
+    so this pin allows 1-2 ulps (measured 4.6e-7 worst).  The batch has a
+    padded tail (nlay=23 is not a multiple of the derived layer block),
+    exercising the in-loop bounds guard."""
+    from ecckd_tpu.ops.pallas import lwsw
+    ncol = 139
+    lwm = load_ckd_model(LW_FSCK, dtype=np.dtype(F32))
+    swm = load_ckd_model(SW_WIDE, dtype=np.dtype(F32))
+    plev, tlay, tlev, tsfc, concs = _inputs(ncol=ncol, nlay=23, seed=31)
+    emis_gpt = jnp.full((ncol, lwm.ngpt), 0.96, F32)
+    alb = jnp.asarray(np.linspace(0.05, 0.8, ncol), F32)
+    tsi = jnp.full((ncol,), 1361.0, F32)
+    sza = jnp.asarray(np.linspace(0.0, 110.0, ncol), F32)
+    saved = lwsw.FUSE_FWD
+    try:
+        outs = {}
+        for flag in (True, False):
+            lwsw.FUSE_FWD = flag
+            outs[flag] = [np.asarray(x) for x in lwsw.lwsw_fluxes_fused(
+                lwm, swm, plev, tlay, tlev, tsfc, emis_gpt, concs, alb,
+                tsi, sza, interpret=True)]
+    finally:
+        lwsw.FUSE_FWD = saved
+    for a, b in zip(outs[True], outs[False]):
+        np.testing.assert_allclose(a, b, rtol=2e-6)
