@@ -168,9 +168,18 @@ def _parity_gate(case_names=("lw_fsck+sw_wide_1ang",)) -> dict:
     mode = os.environ.get("ECCKD_MXU_PRECISION", "bf16x3")
     bound = chip_parity.BOUNDS.get(mode, 5.0e-4)
     b = chip_parity.adversarial_batch(ncol=293, nlay=60)
-    lw_models = {"fsck": load_ckd_model(LW_FILE, dtype=np.dtype(np.float32)),
-                 "rrtmgp": load_ckd_model(LW_RRTMGP_FILE,
-                                          dtype=np.dtype(np.float32))}
+    # Load lazily from the cases actually gated: the headline bench only
+    # gates the fsck pair and must not grow a file dependency on (or pay
+    # a load of) the rrtmgp model.
+    _paths = {"fsck": LW_FILE, "rrtmgp": LW_RRTMGP_FILE}
+    _cache: dict = {}
+
+    def lw_model(name):
+        if name not in _cache:
+            _cache[name] = load_ckd_model(_paths[name],
+                                          dtype=np.dtype(np.float32))
+        return _cache[name]
+
     sw = load_ckd_model(SW_FILE, dtype=np.dtype(np.float32))
     margs = (b["plev"], b["tlay"], b["tlev"], b["tsfc"], b["emis"],
              b["concs"], b["alb"], b["tsi"], b["sza"])
@@ -199,7 +208,7 @@ def _parity_gate(case_names=("lw_fsck+sw_wide_1ang",)) -> dict:
     ok = True
     for name in case_names:
         kind, lw_name, nang = GATE_CASES[name]
-        lwm = lw_models[lw_name]
+        lwm = lw_model(lw_name)
         if kind == "merged":
             ref_lw, ref_sw = cpu_anchor(
                 lambda ml, ms, *a: lw_sw_fluxes(ml, ms, *a,

@@ -168,11 +168,15 @@ def is_compile_failure(e: BaseException) -> bool:
         return True  # pallas LoweringError family
     if "XlaRuntimeError" in qual or "JaxRuntimeError" in qual:
         # Runtime-typed, but Mosaic/XLA report compile failures through the
-        # same exception class — distinguish by message.
+        # same exception class — distinguish by message.  Deliberately
+        # narrow: bare INVALID_ARGUMENT / RESOURCE_EXHAUSTED are XLA's
+        # standard statuses for runtime-invalid inputs and device OOM,
+        # which must propagate; only the vmem flavor of exhaustion is a
+        # Mosaic compile-budget failure.
         msg = str(e)
         return any(tok in msg for tok in (
             "Mosaic", "mosaic", "compil", "lowering", "UNIMPLEMENTED",
-            "vmem", "VMEM", "RESOURCE_EXHAUSTED", "INVALID_ARGUMENT"))
+            "vmem", "VMEM"))
     return False
 
 
@@ -190,8 +194,9 @@ def solve_with_fallback(solve, backend: str):
     except Exception as e:
         if not is_compile_failure(e):
             raise
+        first_line = (str(e).splitlines() or [""])[0]
         print(" WARNING: fused-kernel path failed to compile "
-              f"({type(e).__name__}: {str(e).splitlines()[0][:120]}); "
+              f"({type(e).__name__}: {first_line[:120]}); "
               "retrying with the XLA path", file=sys.stderr)
         return solve("xla")
 

@@ -124,9 +124,21 @@ def main(argv=None) -> int:
         # are journaled so an interrupted million-column run resumes at the
         # first unfinished chunk instead of recomputing everything.
         progress_path = os.path.join(args.out_dir, "progress.json")
+        run_cfg = {"columns": args.columns, "chunk": args.chunk,
+                   "nlay": args.nlay, "outputs": outputs_mode}
         if args.resume and os.path.exists(progress_path):
             with open(progress_path) as f:
-                done = set(json.load(f).get("done", []))
+                journal = json.load(f)
+            done = set(journal.get("done", []))
+            # The reduced-output shapes don't encode nlay, so the memmap
+            # shape check below cannot catch a wrong --nlay resume there;
+            # the journaled run config is the fail-fast for every mode
+            # (a resume must not silently mix fluxes from different
+            # grids/chunkings into one artifact).
+            prev_cfg = journal.get("config")
+            if prev_cfg is not None and prev_cfg != run_cfg:
+                p.error(f"--resume config mismatch: journal has {prev_cfg}"
+                        f", this run is {run_cfg}")
             print(f"# resuming: {len(done)}/{n_chunks} chunks already done",
                   file=sys.stderr)
         mode = "r+" if (args.resume and done) else "w+"
@@ -145,8 +157,8 @@ def main(argv=None) -> int:
             # IndexError hours into the run (or silently keep stale rows).
             if m.shape != out_spec[1]:
                 p.error(f"{name}.npy has shape {m.shape}; this run needs "
-                        f"{out_spec[1]} — wrong --columns/--nlay "
-                        "for --resume")
+                        f"{out_spec[1]} — wrong --columns (or --nlay, in "
+                        "full mode) for --resume")
 
         def consume(host_outs, i):
             s = slice(i * args.chunk, (i + 1) * args.chunk)
@@ -154,7 +166,7 @@ def main(argv=None) -> int:
                 maps[name][s] = arr
             done.add(int(i))
             with open(progress_path, "w") as f:
-                json.dump({"done": sorted(done)}, f)
+                json.dump({"done": sorted(done), "config": run_cfg}, f)
 
     pending = [i for i in range(n_chunks) if i not in done]
     metrics = run_weak_scaling(step, chunk_builder, n_chunks, args.chunk,

@@ -216,11 +216,13 @@ def _lwsw_kernel(params_ref, t_first_ref,
     # --- Sweeps: the independent LW and SW chains of the same direction
     # run in ONE loop.  Measured NEUTRAL vs separate loops (~28.9 vs
     # ~28.7 ms/65k-col solve — Mosaic already overlaps the chains), and
-    # tools/probe_sweeps.py showed the whole sweep phase is a minor cost
-    # (removing every per-level reduction + accumulate saved only
-    # ~0.2-0.7 ms): the sweeps are NOT the place to hunt.  Kept fused for
-    # structure; per-step math is op-for-op identical to the separate
-    # sweeps (bitwise fluxes, test_lwsw_merged_matches_separate).
+    # tools/probe_residual.py measured the whole sweep phase at 1.3 ms of
+    # the 28.5 ms epoch: the sweeps are NOT the place to hunt.  Per-step
+    # math matches the separate kernels to solver tolerance
+    # (test_lwsw_merged_matches_separate, atol 3e-5) and the FUSE_FWD
+    # forward chain matches the stored-scratch path bitwise on chip /
+    # to 1-2 ulps in interpret mode (XLA:CPU FMA contraction;
+    # test_lwsw_fused_forward_matches_unfused).
     # Forward: LW down radiance + SW direct-beam attenuation (sw phase
     # A1) — already advanced inside phase A when FUSE_FWD.
     sfc_src = planck(tsfc_ref[...])

@@ -56,6 +56,14 @@ def test_fallback_on_lowering_not_implemented():
     assert calls == ["auto", "xla"]
 
 
+def test_fallback_on_empty_message_exception():
+    """A bare NotImplementedError (no message) must fall back, not crash
+    the handler on str(e).splitlines()[0]."""
+    solve, calls = _solver(NotImplementedError())
+    assert solve_with_fallback(solve, "auto") == "xla"
+    assert calls == ["auto", "xla"]
+
+
 def test_fallback_on_vmem_exhaustion():
     solve, _ = _solver(XlaRuntimeError(
         "RESOURCE_EXHAUSTED: scoped vmem limit exceeded"))
@@ -90,7 +98,16 @@ def test_is_compile_failure_classification():
     assert is_compile_failure(NotImplementedError("x"))
     assert is_compile_failure(XlaRuntimeError("Mosaic lowering failed"))
     assert is_compile_failure(XlaRuntimeError("error during compilation"))
+    assert is_compile_failure(XlaRuntimeError(
+        "RESOURCE_EXHAUSTED: scoped vmem limit exceeded"))
     assert not is_compile_failure(XlaRuntimeError("device halted"))
+    # XLA's standard statuses for runtime-invalid inputs / device OOM
+    # must NOT be treated as compile failures (they would silently mask
+    # genuine input bugs behind an XLA-path rerun).
+    assert not is_compile_failure(XlaRuntimeError(
+        "INVALID_ARGUMENT: argument shape mismatch"))
+    assert not is_compile_failure(XlaRuntimeError(
+        "RESOURCE_EXHAUSTED: out of memory allocating 2.1G on device"))
     assert not is_compile_failure(FloatingPointError("nan"))
     assert not is_compile_failure(KeyError("h2o"))
     # The real pallas LoweringError family classifies by module/name.

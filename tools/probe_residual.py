@@ -354,6 +354,11 @@ def timeit(step) -> float:
 
 
 def main():
+    # The ablated kernel is a sectioned copy of the UNFUSED body (it
+    # writes blk_b_s[b] for every block); lwsw_fluxes_fused sizes that
+    # scratch to ONE block when FUSE_FWD is on, so the flag must be off
+    # for the probe's allocation to match its kernel.
+    lwsw.FUSE_FWD = False
     lw, sw, args = build()
     orig = lwsw._lwsw_kernel
     results = {}

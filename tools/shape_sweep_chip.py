@@ -153,7 +153,8 @@ def main(argv=None) -> int:
         ok = ok and shape_ok
         results[f"nlay{nlay}_ncol{ncol}"] = {
             "nlay": nlay, "parity_ncol": ncol,
-            "layer_block": derive_layer_block(nlay, 53),
+            "layer_block": derive_layer_block(
+                nlay, int(lw32.log_pressure.shape[0])),
             "parity_max_rel_lw": rel_lw, "parity_max_rel_sw": rel_sw,
             "parity_ok": shape_ok,
             "first_call_seconds": round(compile_s, 2),
