@@ -12,8 +12,10 @@ adding solve (ops/pallas/sw.py) run on their respective taus.
 
 Requires the two ckd models to share the (pressure, temperature) grid —
 true for all shipped ecckd-1.2 files; the pipeline falls back to the
-separate kernels otherwise.  1 Gauss angle only (the drivers' default,
-physics index 1; 3-angle LW falls back to the separate kernels).
+separate kernels otherwise.  Supports 1-4 LW Gauss angles (physics
+index 1 = 1 angle with the fused forward sweeps; index 2 = 3 angles
+with per-angle LW sweeps over staged tau/Planck, lw.py's multi-angle
+structure — the shared one-hot pass is identical either way).
 """
 from __future__ import annotations
 
@@ -67,11 +69,13 @@ def _lwsw_kernel(params_ref, t_first_ref,
                  lwup_ref, lwdn_ref, swup_ref, swdn_ref,
                  blk_a_s, blk_b_s, blk_c_s, plevb_s,
                  rdif_s, tdif_s, srcup_s, srcdn_s, albedo_s, src_s,
-                 denom_s, logp_s, dp_s, tlay_s, tlev_s, vmrp_s, *,
+                 denom_s, logp_s, dp_s, tlay_s, tlev_s, vmrp_s,
+                 lw_trans_s, lw_srcup_s, *,
                  lw_plan: plan_mod.GasOpticsPlan,
                  sw_plan: plan_mod.GasOpticsPlan,
                  lw_kinds, sw_kinds, nlay: int, n_planck: int,
-                 npl_pad: int, secant: float, weight: float, lb: int,
+                 npl_pad: int, secants: Tuple[float, ...],
+                 weights: Tuple[float, ...], lb: int,
                  n_blk: int, n_blk_lev: int, ctile: int, wp: int, wv: int,
                  inblock: bool):
     if inblock:
@@ -124,7 +128,14 @@ def _lwsw_kernel(params_ref, t_first_ref,
 
     common.fori32(0, n_blk_lev, level_blk_eval, 0, unroll=UNROLL_BLOCKS)
 
-    w2pi = F32(2.0 * constants.PI * weight)
+    # Multi-angle (physics index 2): the transmittance depends on the
+    # angle, so phase A stages tau/layer-Planck blocked (like lw.py's
+    # 3-angle path) and each angle's sweeps compute their own
+    # transmittance/sources; the SW solve and the shared one-hot pass are
+    # angle-independent.  The forward-fusion applies to 1 angle only.
+    one_angle = len(secants) == 1
+    fuse = FUSE_FWD and one_angle
+    w2pi = F32(2.0 * constants.PI * weights[0])
     pad_tail = n_blk * lb > nlay   # static: padded layer rows exist
 
     # --- Phase A: ONE shared one-hot per block -> both models' taus,
@@ -138,22 +149,28 @@ def _lwsw_kernel(params_ref, t_first_ref,
             t_first_ref, specs, log_p0, inv_dlogp, inv_dt, mpp,
             lb=lb, wp=wp, wv=wv)
 
-        # LW: transmittance + linear-in-tau sources (lw.py 1-angle path).
+        # LW: transmittance + linear-in-tau sources (lw.py 1-angle path)
+        # — or, multi-angle, stage tau + layer Planck for the per-angle
+        # sweeps below.
         play_blk = planck(tlay_ref[pl.ds(b, 1), :])
-        lev_dec = plevb_s[b]
-        b_next = jnp.minimum(b + 1, n_blk_lev - 1)
-        lev_inc = jnp.concatenate(
-            [lev_dec[:, ctile:], plevb_s[b_next][:, :ctile]], axis=1)
-        ts = tau_lw * F32(secant)
-        omt = -common.expm1_accurate(-ts)
-        tr = 1.0 - omt
-        fact = jnp.where(ts > thresh,
-                         omt / jnp.maximum(ts, thresh) - tr,
-                         ts * (0.5 - ts * (1.0 / 3.0)))
-        src_dn = omt * lev_inc + 2.0 * fact * (play_blk - lev_inc)
-        src_up = omt * lev_dec + 2.0 * fact * (play_blk - lev_dec)
-        blk_a_s[b] = tr
-        blk_c_s[b] = src_up
+        if one_angle:
+            lev_dec = plevb_s[b]
+            b_next = jnp.minimum(b + 1, n_blk_lev - 1)
+            lev_inc = jnp.concatenate(
+                [lev_dec[:, ctile:], plevb_s[b_next][:, :ctile]], axis=1)
+            ts = tau_lw * F32(secants[0])
+            omt = -common.expm1_accurate(-ts)
+            tr = 1.0 - omt
+            fact = jnp.where(ts > thresh,
+                             omt / jnp.maximum(ts, thresh) - tr,
+                             ts * (0.5 - ts * (1.0 / 3.0)))
+            src_dn = omt * lev_inc + 2.0 * fact * (play_blk - lev_inc)
+            src_up = omt * lev_dec + 2.0 * fact * (play_blk - lev_dec)
+            blk_a_s[b] = tr
+            blk_c_s[b] = src_up
+        else:
+            blk_a_s[b] = tau_lw
+            blk_b_s[b] = play_blk
 
         # SW: tau-scaled cancellation-free two-stream with g = 0 — one
         # divide per block (common.two_stream_g0's derivation notes).
@@ -163,8 +180,9 @@ def _lwsw_kernel(params_ref, t_first_ref,
             tau, tau_ray, mu0_blk, inv_mu0_blk)
         rdif_s[b] = r_dif
         tdif_s[b] = t_dif
-        if not FUSE_FWD:
-            blk_b_s[b] = src_dn
+        if not fuse:
+            if one_angle:
+                blk_b_s[b] = src_dn
             srcup_s[b] = r_dir
             srcdn_s[b] = t_dir
             denom_s[b] = t_noscat
@@ -197,7 +215,7 @@ def _lwsw_kernel(params_ref, t_first_ref,
         srcdn_s[b] = jnp.concatenate(sd_chunks, axis=1)
         return (rad, direct)
 
-    if FUSE_FWD:
+    if fuse:
         rad0 = jnp.zeros_like(emis_ref[...])
         rad, direct = common.fori32(0, n_blk, optics_block,
                                     (rad0, dir_top), unroll=UNROLL_BLOCKS)
@@ -224,16 +242,19 @@ def _lwsw_kernel(params_ref, t_first_ref,
     # to 1-2 ulps in interpret mode (XLA:CPU FMA contraction;
     # test_lwsw_fused_forward_matches_unfused).
     # Forward: LW down radiance + SW direct-beam attenuation (sw phase
-    # A1) — already advanced inside phase A when FUSE_FWD.
+    # A1) — already advanced inside phase A when the fusion is on;
+    # multi-angle runs the SW direct chain alone here (LW sweeps are
+    # per-angle, below).
     sfc_src = planck(tsfc_ref[...])
     emis = emis_ref[...]
-    if not FUSE_FWD:
+    if not fuse:
         rad = jnp.zeros_like(sfc_src)
         direct = dir_top
         for j in range(nlay):
-            rad = chunk(blk_a_s, j) * rad + chunk(blk_b_s, j)
-            lwdn_ref[pl.ds(j + 1, 1), :] += w2pi * jnp.sum(
-                rad, axis=0, keepdims=True)
+            if one_angle:
+                rad = chunk(blk_a_s, j) * rad + chunk(blk_b_s, j)
+                lwdn_ref[pl.ds(j + 1, 1), :] += w2pi * jnp.sum(
+                    rad, axis=0, keepdims=True)
             chunk_set(srcup_s, j, chunk(srcup_s, j) * direct)
             chunk_set(srcdn_s, j, chunk(srcdn_s, j) * direct)
             direct = chunk(denom_s, j) * direct
@@ -242,18 +263,20 @@ def _lwsw_kernel(params_ref, t_first_ref,
     dir_sfc = direct
 
     # Surface boundary conditions of both backward chains.
-    rad = emis * sfc_src + (1.0 - emis) * rad
-    lwup_ref[pl.ds(nlay, 1), :] += w2pi * jnp.sum(rad, axis=0,
-                                                  keepdims=True)
+    if one_angle:
+        rad = emis * sfc_src + (1.0 - emis) * rad
+        lwup_ref[pl.ds(nlay, 1), :] += w2pi * jnp.sum(rad, axis=0,
+                                                      keepdims=True)
     albedo_s[nlay] = alb_ref[...]
     src_s[nlay] = alb_ref[...] * dir_sfc
     albedo, src = albedo_s[nlay], src_s[nlay]
 
-    # Backward: LW up radiance + SW adding recurrence (sw phase B).
+    # Backward: LW up radiance (1-angle) + SW adding recurrence (phase B).
     for j in reversed(range(nlay)):
-        rad = chunk(blk_a_s, j) * rad + chunk(blk_c_s, j)
-        lwup_ref[pl.ds(j, 1), :] += w2pi * jnp.sum(rad, axis=0,
-                                                   keepdims=True)
+        if one_angle:
+            rad = chunk(blk_a_s, j) * rad + chunk(blk_c_s, j)
+            lwup_ref[pl.ds(j, 1), :] += w2pi * jnp.sum(rad, axis=0,
+                                                       keepdims=True)
         r_dif = chunk(rdif_s, j)
         t_dif = chunk(tdif_s, j)
         denom = 1.0 / (1.0 - r_dif * albedo)
@@ -274,6 +297,39 @@ def _lwsw_kernel(params_ref, t_first_ref,
         swdn_ref[pl.ds(j + 1, 1), :] += jnp.sum(dn, axis=0, keepdims=True)
         swup_ref[pl.ds(j + 1, 1), :] = jnp.sum(up, axis=0, keepdims=True)
 
+    # Multi-angle LW sweeps (lw.py's 3-angle structure): per angle, the
+    # down sweep computes that angle's transmittance/sources from the
+    # staged tau (blk_a) + layer Planck (blk_b) and per-level Planck
+    # blocks, staging trans/src_up per layer for the up sweep.
+    if not one_angle:
+        for sec_f, wgt in zip(secants, weights):
+            sec = F32(sec_f)
+            w2pi_a = F32(2.0 * constants.PI * wgt)
+            rad = jnp.zeros_like(sfc_src)
+            for j in range(nlay):
+                ts = chunk(blk_a_s, j) * sec
+                omt = -common.expm1_accurate(-ts)
+                tr = 1.0 - omt
+                lw_trans_s[j] = tr
+                lay = chunk(blk_b_s, j)
+                lev_inc = chunk(plevb_s, j + 1)
+                lev_dec = chunk(plevb_s, j)
+                fact = jnp.where(ts > thresh,
+                                 omt / jnp.maximum(ts, thresh) - tr,
+                                 ts * (0.5 - ts * (1.0 / 3.0)))
+                src_dn = omt * lev_inc + 2.0 * fact * (lay - lev_inc)
+                lw_srcup_s[j] = omt * lev_dec + 2.0 * fact * (lay - lev_dec)
+                rad = tr * rad + src_dn
+                lwdn_ref[pl.ds(j + 1, 1), :] += w2pi_a * jnp.sum(
+                    rad, axis=0, keepdims=True)
+            rad = emis * sfc_src + (1.0 - emis) * rad
+            lwup_ref[pl.ds(nlay, 1), :] += w2pi_a * jnp.sum(
+                rad, axis=0, keepdims=True)
+            for j in reversed(range(nlay)):
+                rad = lw_trans_s[j] * rad + lw_srcup_s[j]
+                lwup_ref[pl.ds(j, 1), :] += w2pi_a * jnp.sum(
+                    rad, axis=0, keepdims=True)
+
 
 def models_mergeable(model_lw: CKDModel, model_sw: CKDModel) -> bool:
     """The merged kernel shares one (p, T) interpolation grid; true for
@@ -292,12 +348,15 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
                       tsfc: jax.Array, emis_gpt: jax.Array,
                       gas_concs: GasConcs, sfc_alb: jax.Array,
                       tsi: jax.Array, sza_deg: jax.Array,
+                      n_gauss_angles: int = 1,
                       interpret: bool = False
                       ) -> Tuple[jax.Array, jax.Array, jax.Array,
                                  jax.Array]:
-    """Both bands' broadband fluxes in one fused kernel pass
-    (top_at_1, 1 Gauss angle).  Args mirror pipeline.lw_fluxes +
-    pipeline.sw_fluxes.  Returns (lw_up, lw_dn, sw_up, sw_dn), each
+    """Both bands' broadband fluxes in one fused kernel pass (top_at_1;
+    1-4 LW Gauss angles — physics index 2 = 3 angles shares the same
+    one-hot/interpolation pass, with per-angle LW sweeps like
+    ops/pallas/lw.py's multi-angle path).  Args mirror pipeline.lw_fluxes
+    + pipeline.sw_fluxes.  Returns (lw_up, lw_dn, sw_up, sw_dn), each
     (ncol, nlay+1); SW night columns are masked like sw_fluxes."""
     ncol, nlay = tlay.shape
     p_lw = plan_mod.build_plan(model_lw, gas_concs.names)
@@ -407,11 +466,13 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
     vmrp_t = blk(_pad_cols(vmr_prof, ncol_pad))
     vmrs_t = _pad_cols(vmr_scal, ncol_pad)
 
-    secants, weights = gauss_angles(1)
+    secants, weights = gauss_angles(n_gauss_angles)
+    one_angle = n_gauss_angles == 1
     kernel = functools.partial(
         _lwsw_kernel, lw_plan=p_lw, sw_plan=p_sw, lw_kinds=lw_kinds,
         sw_kinds=sw_kinds, nlay=nlay, n_planck=n_planck, npl_pad=npl_pad,
-        secant=float(secants[0]), weight=float(weights[0]), lb=lb,
+        secants=tuple(float(s) for s in secants),
+        weights=tuple(float(w) for w in weights), lb=lb,
         n_blk=n_blk, n_blk_lev=n_blk_lev, ctile=ct, wp=P_WINDOW,
         wv=V_WINDOW, inblock=INKERNEL_BLOCK)
 
@@ -466,10 +527,12 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
                                 memory_space=pltpu.VMEM)] * 4,
         out_shape=[jax.ShapeDtypeStruct((nlev, ncol_pad), F32)] * 4,
         scratch_shapes=[
-            pltpu.VMEM((n_blk, ng_lw, lb * ct), F32),     # lw trans
-            # lw src dn: consumed in-loop when the forward sweep is fused
-            # into phase A — keep only a dummy block then.
-            pltpu.VMEM((1 if FUSE_FWD else n_blk, ng_lw, lb * ct), F32),
+            pltpu.VMEM((n_blk, ng_lw, lb * ct), F32),     # lw trans/tau
+            # lw src dn (1-angle) / layer planck (multi-angle): consumed
+            # in-loop when the 1-angle forward sweep is fused into phase
+            # A — keep only a dummy block then.
+            pltpu.VMEM((1 if (FUSE_FWD and one_angle) else n_blk,
+                        ng_lw, lb * ct), F32),
             pltpu.VMEM((n_blk, ng_lw, lb * ct), F32),     # lw src up
             pltpu.VMEM((n_blk_lev, ng_lw, lb * ct), F32),  # planck lev
             pltpu.VMEM((n_blk, ng_sw, lb * ct), F32),     # r_dif
@@ -491,6 +554,12 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
                        else (1, ct), F32),                # tlev blocked
             pltpu.VMEM((n_vp, n_blk, lb * ct) if INKERNEL_BLOCK
                        else (1, 1, ct), F32),             # vmr blocked
+            # Per-layer trans / src_up staging for the multi-angle LW
+            # sweeps (1-row dummies in the 1-angle mode).
+            pltpu.VMEM((1, 1, ct) if one_angle
+                       else (nlay, ng_lw, ct), F32),      # lw trans (ang)
+            pltpu.VMEM((1, 1, ct) if one_angle
+                       else (nlay, ng_lw, ct), F32),      # lw srcup (ang)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),

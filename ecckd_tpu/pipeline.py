@@ -240,14 +240,18 @@ def lw_sw_fluxes(model_lw: CKDModel, model_sw: CKDModel, plev: jax.Array,
     """Both bands' broadband fluxes over ONE atmosphere (the climate-model
     and RFMIP-benchmark shape of the workload).
 
-    On TPU at f32 with 1 Gauss angle and models sharing a (p, T) grid
+    On TPU at f32 with 1-4 Gauss angles and models sharing a (p, T) grid
     (all shipped ecckd-1.2 file pairs), this runs the MERGED mega-kernel
     (ops/pallas/lwsw.py): one interpolation-index/one-hot computation and
     one grid pass serve both bands.  Everything else falls back to
     lw_fluxes + sw_fluxes.  Returns (lw_fluxes, sw_fluxes)."""
     dtype = jnp.asarray(tlay).dtype
     ncol = tlay.shape[0]
-    if (n_gauss_angles == 1
+    # Any supported LW quadrature order merges (round 4): 1 angle runs
+    # the fused-forward phase-A form, >1 stage tau/Planck blocked with
+    # per-angle sweeps — both share the single one-hot/interpolation
+    # pass with SW (ops/pallas/lwsw.py).
+    if (n_gauss_angles in (1, 2, 3, 4)
             and _use_fused(model_lw, dtype, "auto" if backend == "auto"
                            else backend, top_at_1)
             and _use_fused(model_sw, dtype, "auto", top_at_1)):
@@ -260,7 +264,8 @@ def lw_sw_fluxes(model_lw: CKDModel, model_sw: CKDModel, plev: jax.Array,
                 alb = _surface_to_gpt(model_sw, alb, ncol, dtype)
             lu, ld, su, sd = lwsw_fluxes_fused(
                 model_lw, model_sw, plev, tlay, tlev, tsfc, emis_gpt,
-                gas_concs, alb, tsi, sza_deg)
+                gas_concs, alb, tsi, sza_deg,
+                n_gauss_angles=n_gauss_angles)
             return (FluxesBroadband(flux_up=lu, flux_dn=ld),
                     FluxesBroadband(flux_up=su, flux_dn=sd))
     return (lw_fluxes(model_lw, plev, tlay, tlev, tsfc, sfc_emis,

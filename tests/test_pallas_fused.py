@@ -344,3 +344,38 @@ def test_lwsw_fused_forward_matches_unfused():
         lwsw.FUSE_FWD = saved
     for a, b in zip(outs[True], outs[False]):
         np.testing.assert_allclose(a, b, rtol=2e-6)
+
+
+def test_lwsw_merged_multi_angle_matches_separate():
+    """The 3-angle merged kernel (round 4: per-angle LW sweeps over
+    staged tau/Planck sharing the SW one-hot pass) must match the
+    separate fused kernels on a heterogeneous multi-tile batch."""
+    from ecckd_tpu.ops.pallas.lw import COL_TILE
+    from ecckd_tpu.ops.pallas.lwsw import lwsw_fluxes_fused
+    ncol = COL_TILE + 13
+    lwm = load_ckd_model(LW_FSCK, dtype=np.dtype(F32))
+    swm = load_ckd_model(SW_WIDE, dtype=np.dtype(F32))
+    plev, tlay, tlev, tsfc, concs = _inputs(ncol=ncol, nlay=19, seed=44)
+    emis = jnp.asarray(np.linspace(0.85, 1.0, ncol), F32)
+    alb = jnp.asarray(np.linspace(0.05, 0.8, ncol), F32)
+    tsi = jnp.full((ncol,), 1361.0, F32)
+    sza = jnp.asarray(np.linspace(0.0, 110.0, ncol), F32)
+    emis_gpt = jnp.broadcast_to(emis[:, None], (ncol, lwm.ngpt))
+    ref_lu, ref_ld = lw_fluxes_fused(lwm, plev, tlay, tlev, tsfc,
+                                     emis_gpt, concs, n_gauss_angles=3,
+                                     interpret=True)
+    ref_su, ref_sd = sw_fluxes_fused(swm, plev, tlay, concs, alb, tsi,
+                                     sza, interpret=True)
+    lu, ld, su, sd = lwsw_fluxes_fused(lwm, swm, plev, tlay, tlev, tsfc,
+                                       emis_gpt, concs, alb, tsi, sza,
+                                       n_gauss_angles=3, interpret=True)
+    scale_lw = float(jnp.abs(ref_lu).max())
+    scale_sw = float(jnp.abs(ref_sd).max())
+    np.testing.assert_allclose(np.asarray(lu), np.asarray(ref_lu),
+                               atol=3e-5 * scale_lw)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(ref_ld),
+                               atol=3e-5 * scale_lw)
+    np.testing.assert_allclose(np.asarray(su), np.asarray(ref_su),
+                               atol=3e-5 * scale_sw)
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(ref_sd),
+                               atol=3e-5 * scale_sw)

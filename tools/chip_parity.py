@@ -191,27 +191,31 @@ def run_worker(mode: str, ncol: int, nlay: int) -> dict:
            (got_e.flux_up, got_e.flux_dn), ref)
 
     # Merged LW+SW mega-kernel (the bench path) vs the separate CPU refs —
-    # for BOTH LW models: lw_rrtmgp+sw_wide has a different g-point count
-    # (36 vs 32 padded rows, 16 bands) and therefore different padding and
-    # window pressure than the fsck pair; every merged program that
-    # bench.py times must be parity-gated on-chip (VERDICT r3 weak #2).
-    for lw_name in ("fsck", "rrtmgp"):
+    # for BOTH LW models (lw_rrtmgp+sw_wide has a different g-point count,
+    # 36 vs 32 padded rows, 16 bands — different padding and window
+    # pressure than the fsck pair) AND for the 3-angle merged variant
+    # (physics index 2; per-angle LW sweeps over staged tau/Planck):
+    # every merged program that bench.py times must be parity-gated
+    # on-chip (VERDICT r3 weak #2).
+    for lw_name, ang in (("fsck", 1), ("rrtmgp", 1), ("fsck", 3)):
         with jax.default_device(cpu):
             ref_lw, ref_sw = lw_sw_fluxes(
                 models[lw_name], models["wide"], b["plev"], b["tlay"],
                 b["tlev"], b["tsfc"], b["emis"], concs, b["alb"], b["tsi"],
-                b["sza"], n_gauss_angles=1, backend="xla")
+                b["sza"], n_gauss_angles=ang, backend="xla")
             ref_lw = jax.tree_util.tree_map(np.asarray, ref_lw)
             ref_sw = jax.tree_util.tree_map(np.asarray, ref_sw)
-        fn = lambda ml, ms, *a: lw_sw_fluxes(ml, ms, *a, n_gauss_angles=1)
+        fn = lambda ml, ms, *a: lw_sw_fluxes(ml, ms, *a,
+                                             n_gauss_angles=ang)
         args = (models[lw_name], models["wide"], b["plev"], b["tlay"],
                 b["tlev"], b["tsfc"], b["emis"], concs, b["alb"], b["tsi"],
                 b["sza"])
         got_lw, got_sw = jax.jit(fn)(*args)
         got_lw_e, got_sw_e = fn(*args)
-        record(f"lwsw_merged_{lw_name}_lw", (got_lw.flux_up, got_lw.flux_dn),
+        tag = f"lwsw_merged_{lw_name}" + (f"_{ang}ang" if ang != 1 else "")
+        record(f"{tag}_lw", (got_lw.flux_up, got_lw.flux_dn),
                (got_lw_e.flux_up, got_lw_e.flux_dn), ref_lw)
-        record(f"lwsw_merged_{lw_name}_sw", (got_sw.flux_up, got_sw.flux_dn),
+        record(f"{tag}_sw", (got_sw.flux_up, got_sw.flux_dn),
                (got_sw_e.flux_up, got_sw_e.flux_dn), ref_sw)
 
     bound = BOUNDS[mode]
