@@ -74,9 +74,10 @@ def ablated_kernel(params_ref, t_first_ref,
                    lwup_ref, lwdn_ref, swup_ref, swdn_ref,
                    blk_a_s, blk_b_s, blk_c_s, plevb_s,
                    rdif_s, tdif_s, srcup_s, srcdn_s, albedo_s, src_s,
-                   denom_s, logp_s, dp_s, tlay_s, tlev_s, vmrp_s, *,
+                   denom_s, logp_s, dp_s, tlay_s, tlev_s, vmrp_s,
+                   lw_trans_s, lw_srcup_s, *,
                    lw_plan, sw_plan, lw_kinds, sw_kinds, nlay, n_planck,
-                   npl_pad, secant, weight, lb, n_blk, n_blk_lev, ctile,
+                   npl_pad, secants, weights, lb, n_blk, n_blk_lev, ctile,
                    wp, wv, inblock, ablate):
     """Sectioned copy of lwsw._lwsw_kernel (keep in sync by construction:
     the 'full' variant is cross-checked for timing parity with the real
@@ -168,7 +169,7 @@ def ablated_kernel(params_ref, t_first_ref,
                 lev_inc = jnp.concatenate(
                     [lev_dec[:, ctile:], plevb_s[b_next][:, :ctile]],
                     axis=1)
-            ts = tau_lw * F32(secant)
+            ts = tau_lw * F32(secants[0])
             omt = -common.expm1_accurate(-ts)
             tr = 1.0 - omt
             fact = jnp.where(ts > thresh,
@@ -250,7 +251,7 @@ def ablated_kernel(params_ref, t_first_ref,
     sfc_src = (planck(tsfc_ref[...]) if do_phase_a
                else plevb_s[0][:, :ctile])
     emis = emis_ref[...]
-    w2pi = F32(2.0 * constants.PI * weight)
+    w2pi = F32(2.0 * constants.PI * weights[0])
 
     if not (do_fwd or do_bwd or do_down):
         # phaseA_only: one consume per scratch so phase A isn't DCE'd.
