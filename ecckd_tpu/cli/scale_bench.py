@@ -141,6 +141,12 @@ def main(argv=None) -> int:
                         f", this run is {run_cfg}")
             print(f"# resuming: {len(done)}/{n_chunks} chunks already done",
                   file=sys.stderr)
+        elif os.path.exists(progress_path):
+            # Fresh (non --resume) run: the memmaps are about to be
+            # truncated, so a stale journal from a previous run must not
+            # survive — a crash before the first consume() would otherwise
+            # let a later --resume skip chunks whose rows were zeroed.
+            os.remove(progress_path)
         mode = "r+" if (args.resume and done) else "w+"
         out_spec = {
             "full": (("rlu", "rld", "rsu", "rsd"), (args.columns, nlev)),

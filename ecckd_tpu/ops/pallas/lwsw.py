@@ -533,7 +533,9 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
             # A — keep only a dummy block then.
             pltpu.VMEM((1 if (FUSE_FWD and one_angle) else n_blk,
                         ng_lw, lb * ct), F32),
-            pltpu.VMEM((n_blk, ng_lw, lb * ct), F32),     # lw src up
+            # lw src up: only the 1-angle sweeps read it (multi-angle
+            # computes per-angle sources into lw_srcup_s instead).
+            pltpu.VMEM((n_blk if one_angle else 1, ng_lw, lb * ct), F32),
             pltpu.VMEM((n_blk_lev, ng_lw, lb * ct), F32),  # planck lev
             pltpu.VMEM((n_blk, ng_sw, lb * ct), F32),     # r_dif
             pltpu.VMEM((n_blk, ng_sw, lb * ct), F32),     # t_dif

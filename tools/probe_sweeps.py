@@ -58,13 +58,14 @@ def _noreduce_kernel(*refs, **kw):
      lwup_ref, lwdn_ref, swup_ref, swdn_ref,
      blk_a_s, blk_b_s, blk_c_s, plevb_s,
      rdif_s, tdif_s, srcup_s, srcdn_s, albedo_s, src_s,
-     denom_s, logp_s, dp_s, tlay_s, tlev_s, vmrp_s) = refs
+     denom_s, logp_s, dp_s, tlay_s, tlev_s, vmrp_s,
+     lw_trans_s, lw_srcup_s) = refs
     lw_plan = kw["lw_plan"]
     nlay = kw["nlay"]
     lb, n_blk, n_blk_lev = kw["lb"], kw["n_blk"], kw["n_blk_lev"]
     ctile = kw["ctile"]
     inblock = kw["inblock"]
-    secant, weight = kw["secant"], kw["weight"]
+    secant, weight = kw["secants"][0], kw["weights"][0]
 
     if inblock:
         common.fill_lane_blocks(logp_s, logp_ref, n_blk, lb)
@@ -232,6 +233,9 @@ def timeit(step) -> float:
 
 
 def main():
+    # This kernel copy is the UNFUSED 1-angle body (it writes blk_b_s[b]
+    # for every block); the wrapper's scratch allocation must match.
+    lwsw.FUSE_FWD = False
     lw, sw, args = build()
     full = timeit(make_step(lw, sw, args))
     lwsw._lwsw_kernel = _noreduce_kernel
