@@ -365,6 +365,24 @@ def pressure_temperature_index(log_p, t_lay, t_first_ref, log_p0, inv_dlogp,
     return i0p, wp1, i0t, wt1
 
 
+def chunk(ref, j: int, lb: int, ctile: int):
+    """Static (NG, ctile) view of layer/level ``j`` from layer-blocked
+    scratch (n_blk, NG, lb*ctile): block row j // lb, vreg-aligned lane
+    chunk j % lb.  THE definition of the blocked-scratch addressing
+    convention — it must stay consistent with the lane layout
+    _block_lanes / fill_lane_blocks produce, and every fused kernel's
+    sweeps read through it."""
+    b, l = divmod(j, lb)
+    return ref[b][:, l * ctile:(l + 1) * ctile]
+
+
+def chunk_set(ref, j: int, val, lb: int, ctile: int) -> None:
+    """Store ``val`` (NG, ctile) to layer ``j`` of blocked scratch (see
+    chunk)."""
+    b, l = divmod(j, lb)
+    ref[b, :, l * ctile:(l + 1) * ctile] = val
+
+
 FILL_UNROLL_MAX = int(os.environ.get("ECCKD_FILL_UNROLL_MAX", "8"))
 
 

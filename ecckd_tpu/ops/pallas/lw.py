@@ -156,10 +156,8 @@ def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
     dn_ref[...] = jnp.zeros_like(dn_ref)
     emis = emis_ref[...]
 
-    def chunk(ref, j):
-        """Static (NG, ctile) view of layer/level j from blocked scratch."""
-        b, l = divmod(j, lb)
-        return ref[b][:, l * ctile:(l + 1) * ctile]
+    # Blocked-scratch addressing: the one definition in common.py.
+    chunk = lambda ref, j: common.chunk(ref, j, lb, ctile)
 
     for secant, weight in zip(secants, weights):
         sec = F32(secant)
@@ -357,12 +355,8 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     # wash, tools/probe_planck_window.py); harmless over-padding
     n_p_pad = ((p.n_p + 7) // 8) * 8
 
-    table_t = plan_mod.dense_table_t(model, p, gas_concs.names, F32)
-    if table_t.shape[1] == 0:  # LUT-only request: kernel never reads it
-        table_t = jnp.zeros((table_t.shape[0], p.ng_pad), F32)
-    lut_t = plan_mod.lut_table_t(model, p, gas_concs.names, F32)
-    if lut_t is None:
-        lut_t = jnp.zeros((1, 8, p.ng_pad), F32)
+    table_t, lut_t = plan_mod.kernel_tables(model, p, gas_concs.names,
+                                            F32)
     table_hi, table_lo = common.split_for_mxu(table_t)
     lut_hi, lut_lo = common.split_for_mxu(lut_t)
     vmr_prof, vmr_scal, vmr_kinds = plan_mod.split_vmrs(

@@ -222,14 +222,10 @@ def _lwsw_kernel(params_ref, t_first_ref,
     else:
         common.fori32(0, n_blk, optics_block, 0, unroll=UNROLL_BLOCKS)
 
-    def chunk(ref, j):
-        """Static (NG, C) view of layer/level j from blocked scratch."""
-        bb, l = divmod(j, lb)
-        return ref[bb][:, l * ctile:(l + 1) * ctile]
-
-    def chunk_set(ref, j, val):
-        bb, l = divmod(j, lb)
-        ref[bb, :, l * ctile:(l + 1) * ctile] = val
+    # Blocked-scratch addressing: the one definition in common.py.
+    chunk = lambda ref, j: common.chunk(ref, j, lb, ctile)
+    chunk_set = lambda ref, j, val: common.chunk_set(ref, j, val, lb,
+                                                     ctile)
 
     # --- Sweeps: the independent LW and SW chains of the same direction
     # run in ONE loop.  Measured NEUTRAL vs separate loops (~28.9 vs
@@ -374,17 +370,10 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
     # wash, tools/probe_planck_window.py); harmless over-padding
     n_p_pad = ((p_lw.n_p + 7) // 8) * 8
 
-    def tables(model, p):
-        t = plan_mod.dense_table_t(model, p, gas_concs.names, F32)
-        if t.shape[1] == 0:
-            t = jnp.zeros((t.shape[0], p.ng_pad), F32)
-        lut = plan_mod.lut_table_t(model, p, gas_concs.names, F32)
-        if lut is None:
-            lut = jnp.zeros((1, 8, p.ng_pad), F32)
-        return t, lut
-
-    lw_table, lw_lut = tables(model_lw, p_lw)
-    sw_table, sw_lut = tables(model_sw, p_sw)
+    lw_table, lw_lut = plan_mod.kernel_tables(model_lw, p_lw,
+                                              gas_concs.names, F32)
+    sw_table, sw_lut = plan_mod.kernel_tables(model_sw, p_sw,
+                                              gas_concs.names, F32)
     lw_table_hi, lw_table_lo = common.split_for_mxu(lw_table)
     lw_lut_hi, lw_lut_lo = common.split_for_mxu(lw_lut)
     sw_table_hi, sw_table_lo = common.split_for_mxu(sw_table)
@@ -424,17 +413,11 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
         model_sw.rayleigh_coeff.astype(F32))
     solar_col = jnp.zeros((ng_sw, 1), F32).at[:model_sw.ngpt, 0].set(solar)
 
-    dtype = F32
-    tsi_scale = (tsi.astype(dtype) / jnp.sum(solar))[None, :]
-    spacing90 = float(np.spacing(np.float32(90.0)))
-    usecol = sza_deg.astype(dtype) < (90.0 - 2.0 * spacing90)
-    deg_to_rad = jnp.asarray(np.arccos(-1.0) / 180.0, dtype)
-    mu0 = jnp.where(usecol, jnp.cos(sza_deg.astype(dtype) * deg_to_rad),
-                    1.0)
-    alb2d = (sfc_alb.astype(F32).T if sfc_alb.ndim == 2 else
-             jnp.broadcast_to(sfc_alb.astype(F32)[None, :],
-                              (model_sw.ngpt, ncol)))
-    alb_gpt = jnp.zeros((ng_sw, ncol), F32).at[:model_sw.ngpt].set(alb2d)
+    # TSI renorm / night mask / albedo expansion: shared with the
+    # separate SW kernel (single home for the driver parity semantics).
+    from ecckd_tpu.ops.pallas.sw import surface_prep
+    tsi_scale, usecol, mu0, alb_gpt = surface_prep(model_sw, sfc_alb,
+                                                   tsi, sza_deg, ng_sw)
 
     ct = COL_TILE
     ncol_pad = ((ncol + ct - 1) // ct) * ct

@@ -181,6 +181,25 @@ def lut_table_t(model: CKDModel, plan: GasOpticsPlan,
     return None
 
 
+def kernel_tables(model: CKDModel, plan: GasOpticsPlan,
+                  gas_names: Tuple[str, ...], dtype
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """dense_table_t + lut_table_t with the kernel-ready zero fallbacks,
+    the single home for all three fused kernels: a LUT-only request
+    leaves the stacked dense table with ZERO slices — the kernel must
+    skip the dense contraction, since a 0-lane operand is a Mosaic error
+    ('vector types must have positive constant sizes',
+    test_fused_lut_only_gas_set) — and a LUT-less request gets a
+    (1, 8, NG) dummy the kernel never touches."""
+    t = dense_table_t(model, plan, gas_names, dtype)
+    if t.shape[1] == 0:
+        t = jnp.zeros((t.shape[0], plan.ng_pad), dtype)
+    lut = lut_table_t(model, plan, gas_names, dtype)
+    if lut is None:
+        lut = jnp.zeros((1, 8, plan.ng_pad), dtype)
+    return t, lut
+
+
 def split_vmrs_multi(plans, gas_concs: GasConcs, ncol: int, nlay: int,
                      dtype
                      ) -> Tuple[Optional[jax.Array], Optional[jax.Array],

@@ -104,14 +104,10 @@ def _sw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
 
     common.fori32(0, n_blk, optics_block, 0, unroll=UNROLL_BLOCKS)
 
-    def chunk(ref, j):
-        """Static (NG, C) view of layer j from blocked scratch."""
-        bb, l = divmod(j, lb)
-        return ref[bb][:, l * ctile:(l + 1) * ctile]
-
-    def chunk_set(ref, j, val):
-        bb, l = divmod(j, lb)
-        ref[bb, :, l * ctile:(l + 1) * ctile] = val
+    # Blocked-scratch addressing: the one definition in common.py.
+    chunk = lambda ref, j: common.chunk(ref, j, lb, ctile)
+    chunk_set = lambda ref, j, val: common.chunk_set(ref, j, val, lb,
+                                                     ctile)
 
     # --- Phase A1: serial direct-beam sweep (top-down) -------------------
     direct = dir_top
@@ -151,6 +147,35 @@ def _sw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
         up_ref[pl.ds(j + 1, 1), :] = jnp.sum(up, axis=0, keepdims=True)
 
 
+def surface_prep(model: CKDModel, sfc_alb: jax.Array, tsi: jax.Array,
+                 sza_deg: jax.Array, ng: int):
+    """SW driver-semantics prep shared by the separate and MERGED
+    kernels — one home for three load-bearing parity behaviors:
+
+    * TSI renormalization (ecckd_rfmip_sw.F90:125-133): requested TSI
+      over the ckd file's default irradiance sum;
+    * the night mask (ecckd_rfmip_sw.F90:106-108): a column is daytime
+      iff sza < 90 deg minus two f32 ulps;
+    * surface albedo expansion: (ncol,) spectrally constant or
+      (ncol, ngpt) per-g-point, zero-padded to the NG sublane rows.
+
+    Returns (tsi_scale (1, ncol), usecol (ncol,) bool, mu0 (ncol,),
+    alb_gpt (ng, ncol))."""
+    ncol = int(sza_deg.shape[0])
+    tsi_scale = (tsi.astype(F32)
+                 / jnp.sum(model.solar_irradiance.astype(F32)))[None, :]
+    spacing90 = float(np.spacing(np.float32(90.0)))
+    usecol = sza_deg.astype(F32) < (90.0 - 2.0 * spacing90)
+    deg_to_rad = jnp.asarray(np.arccos(-1.0) / 180.0, F32)
+    mu0 = jnp.where(usecol, jnp.cos(sza_deg.astype(F32) * deg_to_rad),
+                    1.0)
+    alb2d = (sfc_alb.astype(F32).T if sfc_alb.ndim == 2 else
+             jnp.broadcast_to(sfc_alb.astype(F32)[None, :],
+                              (model.ngpt, ncol)))
+    alb_gpt = jnp.zeros((ng, ncol), F32).at[:model.ngpt].set(alb2d)
+    return tsi_scale, usecol, mu0, alb_gpt
+
+
 def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
                     gas_concs: GasConcs, sfc_alb: jax.Array, tsi: jax.Array,
                     sza_deg: jax.Array, interpret: bool = False
@@ -170,12 +195,7 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     ng = p.ng_pad
     n_p_pad = ((p.n_p + 7) // 8) * 8
 
-    table_t = plan_mod.dense_table_t(model, p, gas_concs.names, F32)
-    if table_t.shape[1] == 0:  # LUT-only request: kernel never reads it
-        table_t = jnp.zeros((table_t.shape[0], p.ng_pad), F32)
-    lut_t = plan_mod.lut_table_t(model, p, gas_concs.names, F32)
-    if lut_t is None:
-        lut_t = jnp.zeros((1, 8, p.ng_pad), F32)
+    table_t, lut_t = plan_mod.kernel_tables(model, p, gas_concs.names, F32)
     table_hi, table_lo = common.split_for_mxu(table_t)
     lut_hi, lut_lo = common.split_for_mxu(lut_t)
     vmr_prof, vmr_scal, vmr_kinds = plan_mod.split_vmrs(
@@ -200,20 +220,8 @@ def sw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
         model.rayleigh_coeff.astype(F32))
     solar_col = jnp.zeros((ng, 1), F32).at[:model.ngpt, 0].set(solar)
 
-    dtype = F32
-    # TSI renormalization (ecckd_rfmip_sw.F90:125-133): requested / default.
-    tsi_scale = (tsi.astype(dtype) / jnp.sum(solar))[None, :]
-    # Night mask (ecckd_rfmip_sw.F90:106-108).
-    spacing90 = float(np.spacing(np.float32(90.0)))
-    usecol = sza_deg.astype(dtype) < (90.0 - 2.0 * spacing90)
-    deg_to_rad = jnp.asarray(np.arccos(-1.0) / 180.0, dtype)
-    mu0 = jnp.where(usecol, jnp.cos(sza_deg.astype(dtype) * deg_to_rad), 1.0)
-
-    # sfc_alb: (ncol,) spectrally constant or (ncol, ngpt) per-g-point.
-    alb2d = (sfc_alb.astype(F32).T if sfc_alb.ndim == 2 else
-             jnp.broadcast_to(sfc_alb.astype(F32)[None, :],
-                              (model.ngpt, ncol)))
-    alb_gpt = jnp.zeros((ng, ncol), F32).at[:model.ngpt].set(alb2d)
+    tsi_scale, usecol, mu0, alb_gpt = surface_prep(model, sfc_alb, tsi,
+                                                   sza_deg, ng)
 
     ncol_pad = ((ncol + COL_TILE - 1) // COL_TILE) * COL_TILE
     # Single binding for the layer-block size: rows_pad, the blk/blkc
