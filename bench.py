@@ -117,6 +117,13 @@ def run_configs(ncol: int = 65536) -> None:
         "lw_rrtmgp_1ang": lw_step(lwr, 1),
         "lw_rrtmgp_3ang": lw_step(lwr, 3),
     }
+    # The timed set and the gate set are the SAME set by construction:
+    # a config added to `cases` without a GATE_CASES recipe would be
+    # timed ungated, silently violating the every-timed-config-is-
+    # parity-gated invariant (ADVICE r4).
+    assert set(cases) == set(GATE_CASES), (
+        f"timed configs {sorted(cases)} != gated configs "
+        f"{sorted(GATE_CASES)}: add the gate recipe before timing")
     results = {}
     for name, step in cases.items():
         dt = _time_steps(step, iters=20, warmup=2)

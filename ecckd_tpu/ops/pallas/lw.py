@@ -62,7 +62,7 @@ def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
                n_planck: int, npl_pad: int, secants: Tuple[float, ...],
                weights: Tuple[float, ...], lb: int, n_blk: int,
                n_blk_lev: int, ctile: int, wp: int, wv: int,
-               inblock: bool):
+               inblock: bool, roll: bool):
     if inblock:
         # Row-major inputs -> layer-blocked lane layout, in-kernel (see
         # common.fill_lane_blocks).
@@ -159,55 +159,32 @@ def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
     # Blocked-scratch addressing: the one definition in common.py.
     chunk = lambda ref, j: common.chunk(ref, j, lb, ctile)
 
-    for secant, weight in zip(secants, weights):
-        sec = F32(secant)
-        w2pi = F32(2.0 * constants.PI * weight)
-
-        if one_angle:
-            def down_body(j, rad):
-                rad = chunk(blk_a_s, j) * rad + chunk(blk_b_s, j)  # src_dn
-                dn_ref[pl.ds(j + 1, 1), :] += w2pi * jnp.sum(
-                    rad, axis=0, keepdims=True)
-                return rad
-
-            def up_body(j, rad):
-                rad = chunk(blk_a_s, j) * rad + chunk(blk_c_s, j)  # src_up
-                up_ref[pl.ds(j, 1), :] += w2pi * jnp.sum(rad, axis=0,
-                                                         keepdims=True)
-                return rad
-        else:
-            def down_body(j, rad):
-                ts = chunk(blk_a_s, j) * sec                       # tau
-                omt = -common.expm1_accurate(-ts)
-                tr = 1.0 - omt
-                trans_s[j] = tr
-                lay = chunk(blk_b_s, j)                            # planck
-                lev_inc = chunk(plevb_s, j + 1)
-                lev_dec = chunk(plevb_s, j)
-                fact = jnp.where(ts > thresh,
-                                 omt / jnp.maximum(ts, thresh) - tr,
-                                 ts * (0.5 - ts * (1.0 / 3.0)))
-                src_dn = omt * lev_inc + 2.0 * fact * (lay - lev_inc)
-                srcup_s[j] = omt * lev_dec + 2.0 * fact * (lay - lev_dec)
-                rad = tr * rad + src_dn
-                dn_ref[pl.ds(j + 1, 1), :] += w2pi * jnp.sum(
-                    rad, axis=0, keepdims=True)
-                return rad
-
-            def up_body(j, rad):
-                rad = trans_s[j] * rad + srcup_s[j]
-                up_ref[pl.ds(j, 1), :] += w2pi * jnp.sum(rad, axis=0,
-                                                         keepdims=True)
-                return rad
+    if one_angle:
+        sec = F32(secants[0])
+        w2pi = F32(2.0 * constants.PI * weights[0])
 
         rad = jnp.zeros_like(sfc_src)
         for j in range(nlay):
-            rad = down_body(j, rad)
+            rad = chunk(blk_a_s, j) * rad + chunk(blk_b_s, j)  # src_dn
+            dn_ref[pl.ds(j + 1, 1), :] += w2pi * jnp.sum(
+                rad, axis=0, keepdims=True)
         rad = emis * sfc_src + (1.0 - emis) * rad
         up_ref[pl.ds(nlay, 1), :] += w2pi * jnp.sum(rad, axis=0,
                                                     keepdims=True)
         for j in reversed(range(nlay)):
-            rad = up_body(j, rad)
+            rad = chunk(blk_a_s, j) * rad + chunk(blk_c_s, j)  # src_up
+            up_ref[pl.ds(j, 1), :] += w2pi * jnp.sum(rad, axis=0,
+                                                     keepdims=True)
+    else:
+        # Per-angle sweeps over the staged tau/Planck blocks: the single
+        # implementation shared with the merged kernel
+        # (common.multi_angle_lw_sweeps; block-rolled by default to
+        # bound compile-time growth in nlay * n_angles).
+        common.multi_angle_lw_sweeps(
+            secants, weights, blk_a_s, blk_b_s, plevb_s, trans_s,
+            srcup_s, up_ref, dn_ref, sfc_src, emis, thresh, nlay=nlay,
+            lb=lb, n_blk=n_blk, n_blk_lev=n_blk_lev, ctile=ctile,
+            roll=roll)
 
 
 # 10 layers/block keeps each block's pressure-grid span comfortably inside
@@ -420,7 +397,8 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
         n_planck=n_planck, npl_pad=npl_pad,
         secants=tuple(secants), weights=tuple(weights), lb=lb, n_blk=n_blk,
         n_blk_lev=n_blk_lev, ctile=ct, wp=P_WINDOW, wv=V_WINDOW,
-        inblock=INKERNEL_BLOCK)
+        inblock=INKERNEL_BLOCK,
+        roll=common.roll_angle_sweeps(nlay, n_gauss_angles))
 
     nlev = nlay + 1
     n_vp, n_vs = vmrp_t.shape[0], vmrs_t.shape[0]
@@ -477,13 +455,13 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             pltpu.VMEM((n_blk, ng, lb * ct), F32),     # blk b
             pltpu.VMEM((n_blk if n_gauss_angles == 1 else 1,
                         ng, lb * ct), F32),            # blk c
-            # Per-layer staging for the 3-angle sweeps (down sweep computes
-            # the angle's transmittance/up-source at static j; up sweep
-            # consumes them).
-            pltpu.VMEM((1 if n_gauss_angles == 1 else nlay,
-                        ng, ct), F32),                 # trans (3-ang)
-            pltpu.VMEM((1 if n_gauss_angles == 1 else nlay,
-                        ng, ct), F32),                 # src up (3-ang)
+            # Per-layer-ROW staging for the multi-angle sweeps (n_blk*lb
+            # rows: the rolled sweeps store at a traced row incl. the
+            # padded tail, common.multi_angle_lw_sweeps).
+            pltpu.VMEM((1 if n_gauss_angles == 1 else n_blk * lb,
+                        ng, ct), F32),                 # trans (multi-ang)
+            pltpu.VMEM((1 if n_gauss_angles == 1 else n_blk * lb,
+                        ng, ct), F32),                 # src up (multi-ang)
             pltpu.VMEM((n_blk_lev, ng, lb * ct), F32),  # planck lev blk
             # Blocked-input staging for the in-kernel relayout; 1-row
             # dummies when ECCKD_INKERNEL_BLOCK=0 (the A/B mode never

@@ -77,7 +77,7 @@ def _lwsw_kernel(params_ref, t_first_ref,
                  npl_pad: int, secants: Tuple[float, ...],
                  weights: Tuple[float, ...], lb: int,
                  n_blk: int, n_blk_lev: int, ctile: int, wp: int, wv: int,
-                 inblock: bool):
+                 inblock: bool, roll: bool):
     if inblock:
         # Inputs arrive ROW-MAJOR (rows_pad, ctile); build the layer-blocked
         # lane layout (n_blk, lb*ctile) here with cheap VPU row-concats
@@ -298,33 +298,11 @@ def _lwsw_kernel(params_ref, t_first_ref,
     # staged tau (blk_a) + layer Planck (blk_b) and per-level Planck
     # blocks, staging trans/src_up per layer for the up sweep.
     if not one_angle:
-        for sec_f, wgt in zip(secants, weights):
-            sec = F32(sec_f)
-            w2pi_a = F32(2.0 * constants.PI * wgt)
-            rad = jnp.zeros_like(sfc_src)
-            for j in range(nlay):
-                ts = chunk(blk_a_s, j) * sec
-                omt = -common.expm1_accurate(-ts)
-                tr = 1.0 - omt
-                lw_trans_s[j] = tr
-                lay = chunk(blk_b_s, j)
-                lev_inc = chunk(plevb_s, j + 1)
-                lev_dec = chunk(plevb_s, j)
-                fact = jnp.where(ts > thresh,
-                                 omt / jnp.maximum(ts, thresh) - tr,
-                                 ts * (0.5 - ts * (1.0 / 3.0)))
-                src_dn = omt * lev_inc + 2.0 * fact * (lay - lev_inc)
-                lw_srcup_s[j] = omt * lev_dec + 2.0 * fact * (lay - lev_dec)
-                rad = tr * rad + src_dn
-                lwdn_ref[pl.ds(j + 1, 1), :] += w2pi_a * jnp.sum(
-                    rad, axis=0, keepdims=True)
-            rad = emis * sfc_src + (1.0 - emis) * rad
-            lwup_ref[pl.ds(nlay, 1), :] += w2pi_a * jnp.sum(
-                rad, axis=0, keepdims=True)
-            for j in reversed(range(nlay)):
-                rad = lw_trans_s[j] * rad + lw_srcup_s[j]
-                lwup_ref[pl.ds(j, 1), :] += w2pi_a * jnp.sum(
-                    rad, axis=0, keepdims=True)
+        common.multi_angle_lw_sweeps(
+            secants, weights, blk_a_s, blk_b_s, plevb_s, lw_trans_s,
+            lw_srcup_s, lwup_ref, lwdn_ref, sfc_src, emis, thresh,
+            nlay=nlay, lb=lb, n_blk=n_blk, n_blk_lev=n_blk_lev,
+            ctile=ctile, roll=roll)
 
 
 def models_mergeable(model_lw: CKDModel, model_sw: CKDModel) -> bool:
@@ -451,13 +429,14 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
 
     secants, weights = gauss_angles(n_gauss_angles)
     one_angle = n_gauss_angles == 1
+    roll = common.roll_angle_sweeps(nlay, n_gauss_angles)
     kernel = functools.partial(
         _lwsw_kernel, lw_plan=p_lw, sw_plan=p_sw, lw_kinds=lw_kinds,
         sw_kinds=sw_kinds, nlay=nlay, n_planck=n_planck, npl_pad=npl_pad,
         secants=tuple(float(s) for s in secants),
         weights=tuple(float(w) for w in weights), lb=lb,
         n_blk=n_blk, n_blk_lev=n_blk_lev, ctile=ct, wp=P_WINDOW,
-        wv=V_WINDOW, inblock=INKERNEL_BLOCK)
+        wv=V_WINDOW, inblock=INKERNEL_BLOCK, roll=roll)
 
     nlev = nlay + 1
     n_vp, n_vs = vmrp_t.shape[0], vmrs_t.shape[0]
@@ -539,12 +518,14 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
                        else (1, ct), F32),                # tlev blocked
             pltpu.VMEM((n_vp, n_blk, lb * ct) if INKERNEL_BLOCK
                        else (1, 1, ct), F32),             # vmr blocked
-            # Per-layer trans / src_up staging for the multi-angle LW
-            # sweeps (1-row dummies in the 1-angle mode).
+            # Per-layer-ROW trans / src_up staging for the multi-angle
+            # LW sweeps (1-row dummies in the 1-angle mode): n_blk*lb
+            # rows so the rolled sweeps' traced-row stores stay in
+            # bounds on padded tails (common.multi_angle_lw_sweeps).
             pltpu.VMEM((1, 1, ct) if one_angle
-                       else (nlay, ng_lw, ct), F32),      # lw trans (ang)
+                       else (n_blk * lb, ng_lw, ct), F32),  # lw trans (ang)
             pltpu.VMEM((1, 1, ct) if one_angle
-                       else (nlay, ng_lw, ct), F32),      # lw srcup (ang)
+                       else (n_blk * lb, ng_lw, ct), F32),  # lw srcup (ang)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),

@@ -108,6 +108,13 @@ def test_is_compile_failure_classification():
         "INVALID_ARGUMENT: argument shape mismatch"))
     assert not is_compile_failure(XlaRuntimeError(
         "RESOURCE_EXHAUSTED: out of memory allocating 2.1G on device"))
+    # Runtime errors that merely MENTION vmem / UNIMPLEMENTED must
+    # propagate (ADVICE r4): only the compile-phase markers or Mosaic's
+    # "scoped vmem" budget phrase classify.
+    assert not is_compile_failure(XlaRuntimeError(
+        "UNIMPLEMENTED: feature not available on this runtime"))
+    assert not is_compile_failure(XlaRuntimeError(
+        "INTERNAL: device error: vmem parity fault detected"))
     assert not is_compile_failure(FloatingPointError("nan"))
     assert not is_compile_failure(KeyError("h2o"))
     # The real pallas LoweringError family classifies by module/name.

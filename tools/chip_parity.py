@@ -11,8 +11,11 @@ chip (docs/DESIGN.md "Hard-won correctness notes").
 Coverage per run (all on ONE adversarial heterogeneous batch, multi-tile
 for both the 128- and 256-column tilings):
   * all three shipped ckd files (LW fsck, LW rrtmgp-band, SW wide),
-  * LW at 1 and 3 Gauss angles (physics index 1 and 2),
-  * the merged LW+SW mega-kernel,
+  * LW at ALL FOUR Gauss quadrature orders for the fsck file (1 and 3
+    are the drivers' physics indices; 2 and 4 are library-API-only
+    orders — every live fused angle configuration is gated, VERDICT r4
+    weak #1), 1 and 3 for the rrtmgp file,
+  * the merged LW+SW mega-kernel at every order (1, 2, 3, 4),
   * both MXU precision modes (bf16x3 exact, bf16 fast) — each mode runs in
     its own subprocess because the mode is latched at first kernel trace.
 
@@ -161,9 +164,9 @@ def run_worker(mode: str, ncol: int, nlay: int) -> dict:
         print(f"  [{mode}] {name}: max_rel={rel:.3e} "
               f"jit_vs_eager={je:.3e}", file=sys.stderr)
 
-    for lw_name in ("fsck", "rrtmgp"):
+    for lw_name, angles in (("fsck", (1, 2, 3, 4)), ("rrtmgp", (1, 3))):
         m = models[lw_name]
-        for ang in (1, 3):
+        for ang in angles:
             with jax.default_device(cpu):
                 ref = lw_fluxes(m, b["plev"], b["tlay"], b["tlev"],
                                 b["tsfc"], b["emis"], concs,
@@ -197,7 +200,8 @@ def run_worker(mode: str, ncol: int, nlay: int) -> dict:
     # (physics index 2; per-angle LW sweeps over staged tau/Planck):
     # every merged program that bench.py times must be parity-gated
     # on-chip (VERDICT r3 weak #2).
-    for lw_name, ang in (("fsck", 1), ("rrtmgp", 1), ("fsck", 3)):
+    for lw_name, ang in (("fsck", 1), ("rrtmgp", 1), ("fsck", 2),
+                         ("fsck", 3), ("fsck", 4)):
         with jax.default_device(cpu):
             ref_lw, ref_sw = lw_sw_fluxes(
                 models[lw_name], models["wide"], b["plev"], b["tlay"],

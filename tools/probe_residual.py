@@ -78,7 +78,7 @@ def ablated_kernel(params_ref, t_first_ref,
                    lw_trans_s, lw_srcup_s, *,
                    lw_plan, sw_plan, lw_kinds, sw_kinds, nlay, n_planck,
                    npl_pad, secants, weights, lb, n_blk, n_blk_lev, ctile,
-                   wp, wv, inblock, ablate):
+                   wp, wv, inblock, roll, ablate):
     """Sectioned copy of lwsw._lwsw_kernel (keep in sync by construction:
     the 'full' variant is cross-checked for timing parity with the real
     kernel at probe start)."""
@@ -380,7 +380,10 @@ def main():
 
     full = results["full"]
     r = results
-    print(f"\n=== residual decomposition, ncol={NCOL} ===")
+    import os
+    mode = os.environ.get("ECCKD_MXU_PRECISION", "bf16x3")
+    print(f"\n=== residual decomposition, ncol={NCOL}, "
+          f"mxu={mode} ===")
     print(f"copy-vs-real drift: {abs(full-r['real_full'])*1e3:.2f} ms"
           f" (must be ~0 or the sectioned copy diverged)")
     print(f"grid/dispatch floor (null_body):       "

@@ -4,26 +4,32 @@ The fused kernels' blocking parameters are derived from the atmosphere
 depth (ops/pallas/lw.py:derive_layer_block); this tool proves, ON THE
 REAL TPU, that the derivation holds across the depths real NWP/climate
 grids use — 30 (coarse climate), 47 (MERRA-2), 60 (RFMIP/CKDMIP), 91 and
-137 (ECMWF L91/L137) — at odd, non-tile-multiple column counts:
+137 (ECMWF L91/L137) — at odd, non-tile-multiple column counts, and at
+BOTH driver quadrature configurations (1 and 3 LW Gauss angles — the
+reference's physics indices, ecckd_rfmip_lw.F90:40-44; VERDICT r4
+weak #2 / ADVICE r4 #1: the multi-angle deep-shape legs are emitted by
+the tool itself so the artifact is reproducible).  Per (shape, angles):
 
-  * PARITY per shape: merged LW+SW fused kernel, jitted with the model
-    pytrees as jit ARGUMENTS (the shipped execution mode), vs the f64
-    XLA path on the host CPU backend (the deep-column-safe anchor — the
-    CPU f32 anchor's own error grows to ~8e-5 on 1-Pa-to-surface
-    columns, .claude/skills/verify/SKILL.md).
-  * THROUGHPUT per shape: in-process batched-dispatch columns/s at 65536
-    columns (the only timing protocol that is meaningful through the
-    tunneled chip), plus work-rate columns*layers/s to expose fallback
-    cliffs (work per column scales ~linearly in nlay, so a shape whose
-    work rate collapses relative to its neighbors has fallen off the
+  * PARITY: merged LW+SW fused kernel, jitted with the model pytrees as
+    jit ARGUMENTS (the shipped execution mode), vs the f64 XLA path on
+    the host CPU backend (the deep-column-safe anchor — the CPU f32
+    anchor's own error grows to ~8e-5 on 1-Pa-to-surface columns,
+    .claude/skills/verify/SKILL.md).
+  * THROUGHPUT: in-process batched-dispatch columns/s at 65536 columns
+    (the only timing protocol that is meaningful through the tunneled
+    chip), plus work-rate columns*layers/s to expose fallback cliffs
+    (work per column scales ~linearly in nlay, so a shape whose work
+    rate collapses relative to its neighbors has fallen off the
     pressure-window fast path).
-  * COMPILE time per shape: wall seconds of the first jitted call
-    (genuinely cold on the first-ever run of a shape; persistent-cache
-    warm after) — bounds the fill_lane_blocks / solver-sweep unroll
-    growth at 137 layers.
+  * FIRST-CALL seconds: wall time of the first jitted call (genuinely
+    cold on the first-ever run of a shape; persistent-cache warm after)
+    — bounds compile-time growth in (nlay, angles); the multi-angle
+    sweeps are block-rolled for exactly this
+    (common.multi_angle_lw_sweeps).
 
 Usage:  python tools/shape_sweep_chip.py [--out SHAPES_CHIP.json]
-Exit 1 if any shape exceeds the parity bound.
+        [--angles 1,3]
+Exit 1 if any (shape, angles) leg exceeds the parity bound.
 """
 from __future__ import annotations
 
@@ -55,7 +61,11 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default=os.path.join(_REPO_ROOT,
                                                   "SHAPES_CHIP.json"))
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--angles", default="1,3",
+                    help="comma-separated LW Gauss angle counts to sweep "
+                         "(default: both driver physics indices)")
     args = ap.parse_args(argv)
+    angle_list = [int(a) for a in args.angles.split(",")]
 
     import jax
     # x64 is enabled ONLY around the f64 CPU-anchor legs (scoped
@@ -79,8 +89,8 @@ def main(argv=None) -> int:
     lw64 = load_ckd_model(LW, dtype=np.dtype(np.float64))
     sw64 = load_ckd_model(SW, dtype=np.dtype(np.float64))
 
-    fused = jax.jit(lambda ml, ms, *a: lw_sw_fluxes(ml, ms, *a,
-                                                    n_gauss_angles=1))
+    fused = {ang: jax.jit(lambda ml, ms, *a, _n=ang: lw_sw_fluxes(
+        ml, ms, *a, n_gauss_angles=_n)) for ang in angle_list}
     results = {}
     ok = True
     for nlay, ncol in SHAPES:
@@ -91,42 +101,12 @@ def main(argv=None) -> int:
             lambda v: (np.asarray(v, np.float64)
                        if isinstance(v, np.ndarray)
                        and v.dtype == np.float32 else v), x)
-        # x64 toggled on only for this anchor trace (jit captures the
-        # flag at trace time), then restored before any chip-leg trace.
-        # The persistent cache is bypassed for the anchor: XLA:CPU AOT
-        # executables are keyed without host CPU features, so a cache
-        # populated on a different machine can load a foreign binary into
-        # the reference computation (bench.py has the same guard).
-        cache_dir = jax.config.jax_compilation_cache_dir
-        jax.config.update("jax_enable_x64", True)
-        jax.config.update("jax_compilation_cache_dir", None)
-        try:
-            with jax.default_device(cpu):
-                ref_lw, ref_sw = jax.jit(
-                    lambda ml, ms, *a: lw_sw_fluxes(ml, ms, *a,
-                                                    n_gauss_angles=1,
-                                                    backend="xla"))(
-                    lw64, sw64, *f64(margs))
-                ref_lw = jax.tree_util.tree_map(np.asarray, ref_lw)
-                ref_sw = jax.tree_util.tree_map(np.asarray, ref_sw)
-        finally:
-            jax.config.update("jax_enable_x64", False)
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
 
-        t0 = time.perf_counter()
-        got_lw, got_sw = fused(lw32, sw32, *margs)
-        float(jnp.sum(got_lw.flux_up[:, 0]))   # completion barrier
-        compile_s = time.perf_counter() - t0
-        rel_lw, _ = chip_parity._max_rel((got_lw.flux_up, got_lw.flux_dn),
-                                         ref_lw.flux_up, ref_lw.flux_dn)
-        rel_sw, _ = chip_parity._max_rel((got_sw.flux_up, got_sw.flux_dn),
-                                         ref_sw.flux_up, ref_sw.flux_dn)
-
-        # Throughput at NCOL_TIME columns on the RFMIP-SHAPED batch (the
-        # headline workload class, io/synthetic.py) so the numbers are
-        # comparable to bench.py's 60-layer figure; the adversarial batch
-        # above (full-decade pressure spreads -> frequent full-table cond
-        # fallbacks) gates correctness, not speed.
+        # Timing batch: RFMIP-SHAPED (the headline workload class,
+        # io/synthetic.py) so the numbers are comparable to bench.py's
+        # 60-layer figure; the adversarial batch above (full-decade
+        # pressure spreads -> frequent full-table cond fallbacks) gates
+        # correctness, not speed.
         from ecckd_tpu.io.synthetic import example_flux_batch
         bb = example_flux_batch(NCOL_TIME, nlay, np.float32)
         big = {k: (jax.device_put(v) if k != "concs"
@@ -137,43 +117,82 @@ def main(argv=None) -> int:
                  big["sza"])
         lw_dev, sw_dev = jax.device_put(lw32), jax.device_put(sw32)
 
-        def step():
-            f1, f2 = fused(lw_dev, sw_dev, *bargs)
-            return jnp.sum(f1.flux_up[:, 0]) + jnp.sum(f2.flux_up[:, 0])
+        shape = {"nlay": nlay, "parity_ncol": ncol,
+                 "layer_block": derive_layer_block(
+                     nlay, int(lw32.log_pressure.shape[0])),
+                 "angles": {}}
+        for ang in angle_list:
+            # x64 toggled on only for this anchor trace (jit captures
+            # the flag at trace time), then restored before any chip-leg
+            # trace.  The persistent cache is bypassed for the anchor:
+            # XLA:CPU AOT executables are keyed without host CPU
+            # features, so a cache populated on a different machine can
+            # load a foreign binary into the reference computation
+            # (bench.py has the same guard).
+            cache_dir = jax.config.jax_compilation_cache_dir
+            jax.config.update("jax_enable_x64", True)
+            jax.config.update("jax_compilation_cache_dir", None)
+            try:
+                with jax.default_device(cpu):
+                    ref_lw, ref_sw = jax.jit(
+                        lambda ml, ms, *a: lw_sw_fluxes(
+                            ml, ms, *a, n_gauss_angles=ang,
+                            backend="xla"))(lw64, sw64, *f64(margs))
+                    ref_lw = jax.tree_util.tree_map(np.asarray, ref_lw)
+                    ref_sw = jax.tree_util.tree_map(np.asarray, ref_sw)
+            finally:
+                jax.config.update("jax_enable_x64", False)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
 
-        float(step()); float(step())            # warmup + big-shape compile
-        t0 = time.perf_counter()
-        acc = step()
-        for _ in range(args.iters - 1):
-            acc = acc + step()
-        float(acc)
-        cols_s = NCOL_TIME * args.iters / (time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            got_lw, got_sw = fused[ang](lw32, sw32, *margs)
+            float(jnp.sum(got_lw.flux_up[:, 0]))   # completion barrier
+            compile_s = time.perf_counter() - t0
+            rel_lw, _ = chip_parity._max_rel(
+                (got_lw.flux_up, got_lw.flux_dn),
+                ref_lw.flux_up, ref_lw.flux_dn)
+            rel_sw, _ = chip_parity._max_rel(
+                (got_sw.flux_up, got_sw.flux_dn),
+                ref_sw.flux_up, ref_sw.flux_dn)
 
-        shape_ok = max(rel_lw, rel_sw) <= BOUND
-        ok = ok and shape_ok
-        results[f"nlay{nlay}_ncol{ncol}"] = {
-            "nlay": nlay, "parity_ncol": ncol,
-            "layer_block": derive_layer_block(
-                nlay, int(lw32.log_pressure.shape[0])),
-            "parity_max_rel_lw": rel_lw, "parity_max_rel_sw": rel_sw,
-            "parity_ok": shape_ok,
-            "first_call_seconds": round(compile_s, 2),
-            "columns_per_sec": round(cols_s, 1),
-            "col_layers_per_sec": round(cols_s * nlay, 1),
-        }
-        print(f"  nlay={nlay:3d} ncol={ncol}: lb="
-              f"{results[f'nlay{nlay}_ncol{ncol}']['layer_block']} "
-              f"rel_lw={rel_lw:.2e} rel_sw={rel_sw:.2e} "
-              f"{'OK' if shape_ok else 'FAIL'} "
-              f"compile={compile_s:.1f}s "
-              f"{cols_s/1e6:.2f}M cols/s "
-              f"({cols_s*nlay/1e6:.0f}M col-layers/s)", file=sys.stderr)
+            def step():
+                f1, f2 = fused[ang](lw_dev, sw_dev, *bargs)
+                return (jnp.sum(f1.flux_up[:, 0])
+                        + jnp.sum(f2.flux_up[:, 0]))
+
+            float(step()); float(step())    # warmup + big-shape compile
+            t0 = time.perf_counter()
+            acc = step()
+            for _ in range(args.iters - 1):
+                acc = acc + step()
+            float(acc)
+            cols_s = NCOL_TIME * args.iters / (time.perf_counter() - t0)
+
+            leg_ok = max(rel_lw, rel_sw) <= BOUND
+            ok = ok and leg_ok
+            shape["angles"][str(ang)] = {
+                "parity_max_rel_lw": rel_lw, "parity_max_rel_sw": rel_sw,
+                "parity_ok": leg_ok,
+                "first_call_seconds": round(compile_s, 2),
+                "columns_per_sec": round(cols_s, 1),
+                "col_layers_per_sec": round(cols_s * nlay, 1),
+            }
+            print(f"  nlay={nlay:3d} ncol={ncol} ang={ang}: lb="
+                  f"{shape['layer_block']} "
+                  f"rel_lw={rel_lw:.2e} rel_sw={rel_sw:.2e} "
+                  f"{'OK' if leg_ok else 'FAIL'} "
+                  f"first_call={compile_s:.1f}s "
+                  f"{cols_s/1e6:.2f}M cols/s "
+                  f"({cols_s*nlay/1e6:.0f}M col-layers/s)",
+                  file=sys.stderr)
+        results[f"nlay{nlay}_ncol{ncol}"] = shape
 
     import datetime
     out = {"generated_by": "tools/shape_sweep_chip.py",
            "date": datetime.date.today().isoformat(),
            "anchor": "XLA path, float64, host CPU backend",
            "bound": BOUND, "ncol_timing": NCOL_TIME,
+           "angles": angle_list,
            "mxu_precision": os.environ.get("ECCKD_MXU_PRECISION", "bf16x3"),
            "pass": ok, "shapes": results}
     with open(args.out, "w") as f:
