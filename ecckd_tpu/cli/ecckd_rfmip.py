@@ -4,10 +4,12 @@ The reference ships two executables run back to back
 (/root/reference/example/rfmip-rad-irf/ecckd_rfmip_lw.F90, _sw.F90);
 climate workloads always need both bands over the same atmosphere.  This
 driver reads the RFMIP file once and computes all four flux products
-(rlu/rld/rsu/rsd) in one jitted program — on TPU at f32 with physics
-index 1 that is the MERGED LW+SW mega-kernel (ops/pallas/lwsw.py), which
-shares one interpolation pass between the bands (~14% faster than the
-two separate solves).
+(rlu/rld/rsu/rsd) in one jitted program — on TPU at f32 that is the
+MERGED LW+SW mega-kernel (ops/pallas/lwsw.py, any physics index), which
+shares one interpolation pass between the bands.  The merged-vs-separate
+speedup is measured per configuration in BENCH_CONFIGS.json (the single
+source of truth for throughput numbers; tools/check_perf_claims.py
+flags drift).
 
 Usage: python -m ecckd_tpu.cli.ecckd_rfmip <rfmip_file> <lw_ckd> <sw_ckd>
        [-f 1|2] [-p 1|2] [--heating-rates] ...

@@ -54,6 +54,10 @@ def main(argv=None) -> int:
                         "test — async dispatch, copy_to_host_async, "
                         "one-chunk-behind host consumption — is identical "
                         "in every mode")
+    p.add_argument("--depth", type=int, default=2,
+                   help="In-flight chunks behind the host drain point "
+                        "(parallel/scale.py stream_chunks); 1 restores "
+                        "the single-deep round-3 pipeline for A/B")
     p.add_argument("--resume", action="store_true",
                    help="Restart-at-chunk: skip chunks recorded as done in "
                         "<out-dir>/progress.json (requires --out-dir)")
@@ -177,7 +181,7 @@ def main(argv=None) -> int:
     pending = [i for i in range(n_chunks) if i not in done]
     metrics = run_weak_scaling(step, chunk_builder, n_chunks, args.chunk,
                                mesh=mesh, consume=consume, warmup=1,
-                               chunk_ids=pending)
+                               chunk_ids=pending, depth=args.depth)
     if args.out_dir:
         for m in maps.values():
             m.flush()
