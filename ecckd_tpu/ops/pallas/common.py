@@ -399,9 +399,12 @@ def roll_angle_sweeps(nlay: int, n_angles: int) -> bool:
     per-level output-row stores carry a bounds guard.
 
     ECCKD_ROLL_ANGLE_SWEEPS=0/1 forces either form (A/B knob); "auto"
-    rolls everywhere — measured NEUTRAL at nlay=60/3-angle (65k-column
-    merged epoch 30.3 ms rolled vs 30.4 unrolled, same process) with the
-    deep-compile win (nlay=137/3-angle first call 28.5 s -> 15.2 s)."""
+    rolls everywhere.  Measured on chip (tools/probe_roll_sweeps.py,
+    in-process A/B, 65k columns, bitwise-identical flux sums):
+    nlay=60/3-angle 32.25 ms rolled vs 32.01 unrolled (neutral, within
+    epoch drift); nlay=137/3-angle 77.0 ms vs 82.1 (+6% rolled) with
+    first call 21.6 s vs 32.1 s — the rolled form is never worse and
+    wins at depth on both axes."""
     mode = os.environ.get("ECCKD_ROLL_ANGLE_SWEEPS", "auto")
     if mode in ("0", "1"):
         return mode == "1"

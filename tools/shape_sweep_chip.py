@@ -121,6 +121,7 @@ def main(argv=None) -> int:
                  "layer_block": derive_layer_block(
                      nlay, int(lw32.log_pressure.shape[0])),
                  "angles": {}}
+        steps = {}
         for ang in angle_list:
             # x64 toggled on only for this anchor trace (jit captures
             # the flag at trace time), then restored before any chip-leg
@@ -155,18 +156,13 @@ def main(argv=None) -> int:
                 (got_sw.flux_up, got_sw.flux_dn),
                 ref_sw.flux_up, ref_sw.flux_dn)
 
-            def step():
+            def step(ang=ang):
                 f1, f2 = fused[ang](lw_dev, sw_dev, *bargs)
                 return (jnp.sum(f1.flux_up[:, 0])
                         + jnp.sum(f2.flux_up[:, 0]))
 
             float(step()); float(step())    # warmup + big-shape compile
-            t0 = time.perf_counter()
-            acc = step()
-            for _ in range(args.iters - 1):
-                acc = acc + step()
-            float(acc)
-            cols_s = NCOL_TIME * args.iters / (time.perf_counter() - t0)
+            steps[ang] = step
 
             leg_ok = max(rel_lw, rel_sw) <= BOUND
             ok = ok and leg_ok
@@ -174,14 +170,34 @@ def main(argv=None) -> int:
                 "parity_max_rel_lw": rel_lw, "parity_max_rel_sw": rel_sw,
                 "parity_ok": leg_ok,
                 "first_call_seconds": round(compile_s, 2),
-                "columns_per_sec": round(cols_s, 1),
-                "col_layers_per_sec": round(cols_s * nlay, 1),
             }
+
+        # Throughput: the angle legs' timing epochs are INTERLEAVED
+        # (best-of-EPOCHS per leg) so the tunneled chip's between-epoch
+        # drift cancels out of the per-shape angle comparison — separate
+        # back-to-back timings measured a 3-angle leg "faster" than the
+        # 1-angle one purely from epoch drift.
+        best = {ang: 1e30 for ang in angle_list}
+        for _ in range(4):
+            for ang in angle_list:
+                t0 = time.perf_counter()
+                acc = steps[ang]()
+                for _ in range(args.iters - 1):
+                    acc = acc + steps[ang]()
+                float(acc)
+                best[ang] = min(best[ang],
+                                (time.perf_counter() - t0) / args.iters)
+        for ang in angle_list:
+            cols_s = NCOL_TIME / best[ang]
+            leg = shape["angles"][str(ang)]
+            leg["columns_per_sec"] = round(cols_s, 1)
+            leg["col_layers_per_sec"] = round(cols_s * nlay, 1)
             print(f"  nlay={nlay:3d} ncol={ncol} ang={ang}: lb="
                   f"{shape['layer_block']} "
-                  f"rel_lw={rel_lw:.2e} rel_sw={rel_sw:.2e} "
-                  f"{'OK' if leg_ok else 'FAIL'} "
-                  f"first_call={compile_s:.1f}s "
+                  f"rel_lw={leg['parity_max_rel_lw']:.2e} "
+                  f"rel_sw={leg['parity_max_rel_sw']:.2e} "
+                  f"{'OK' if leg['parity_ok'] else 'FAIL'} "
+                  f"first_call={leg['first_call_seconds']:.1f}s "
                   f"{cols_s/1e6:.2f}M cols/s "
                   f"({cols_s*nlay/1e6:.0f}M col-layers/s)",
                   file=sys.stderr)
