@@ -348,13 +348,30 @@ def run_bench(mode: str) -> None:
                           "unit": "columns/s", "vs_baseline": 1.0}))
         return
 
-    print(json.dumps({
+    out = {
         "metric": "rfmip_lw+sw_flux_solve_throughput",
         "value": round(cols_per_sec, 1),
         "unit": "columns/s/chip",
         "vs_baseline": round(cols_per_sec / CPU_SERIAL_BASELINE_COLS_PER_SEC,
                              2),
-    }))
+    }
+    mxu = os.environ.get("ECCKD_MXU_PRECISION", "bf16x3")
+    if mxu != "bf16x3":
+        # Non-default MXU mode: record the dedicated artifact (the fast
+        # mode's README row quotes BENCH_FAST.json — the single source of
+        # truth enforced by tools/check_perf_claims.py) instead of
+        # letting the number pass as the exact-mode headline.
+        import datetime
+        out["mxu_precision"] = mxu
+        out["ncol"] = ncol
+        out["date"] = datetime.date.today().isoformat()
+        name = ("BENCH_FAST.json" if mxu == "bf16"
+                else f"BENCH_{mxu}.json")
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               name), "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

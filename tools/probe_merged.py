@@ -215,7 +215,17 @@ def main():
         "cheap_fill": {"fill": cheap_fill},
     }
     for name, p in variants.items():
-        results[name] = run_variant(name, p, lw, sw, args)
+        try:
+            results[name] = run_variant(name, p, lw, sw, args)
+            print(f"  {name:<20} {results[name]*1e3:8.2f} ms", flush=True)
+        except Exception as e:
+            # A neutered stand-in can hit Mosaic compiler checks the real
+            # kernel never does (e.g. bf16-mode dummy lo-tables sliced by
+            # a window); record and continue — the probe decomposes, it
+            # does not gate.
+            print(f"  {name:<20} SKIPPED ({type(e).__name__}: "
+                  f"{str(e)[:80]})", flush=True)
+            results[name] = float("nan")
     results["prep_only"] = prep_only(lw, sw, args)
     # re-measure full at the end to see drift
     results["full_again"] = run_variant("full", {}, lw, sw, args)
