@@ -179,9 +179,37 @@ def main(argv=None) -> int:
                 json.dump({"done": sorted(done), "config": run_cfg}, f)
 
     pending = [i for i in range(n_chunks) if i not in done]
+
+    # In-process COMPUTE reference: the same jitted step on the same
+    # placed chunk, batched dispatch with a 4-byte scalar fetch as the
+    # barrier (bench.py protocol) — no per-chunk D2H of the outputs.
+    # streamed/compute_ref is the overlap efficiency WITHOUT the
+    # cross-process epoch drift that comparing against bench.py's
+    # number would reintroduce (CLAUDE.md timing rules).
+    import time as _time
+    import jax.numpy as jnp
+    ref_args = place_pytree(chunk_builder(0), mesh, args.chunk)
+
+    def _ref_step():
+        outs = step(*ref_args)
+        return jnp.sum(outs[0][..., 0]) if outs[0].ndim > 1 \
+            else jnp.sum(outs[0])
+
+    float(_ref_step()); float(_ref_step())
+    iters = max(2 * len(pending), 8)
+    t0 = _time.perf_counter()
+    acc = _ref_step()
+    for _ in range(iters - 1):
+        acc = acc + _ref_step()
+    float(acc)
+    compute_ref = args.chunk * iters / (_time.perf_counter() - t0)
+
     metrics = run_weak_scaling(step, chunk_builder, n_chunks, args.chunk,
                                mesh=mesh, consume=consume, warmup=1,
                                chunk_ids=pending, depth=args.depth)
+    metrics["compute_ref_cols_per_sec"] = compute_ref
+    metrics["overlap_efficiency"] = (metrics["columns_per_sec"]
+                                     / compute_ref)
     if args.out_dir:
         for m in maps.values():
             m.flush()
