@@ -128,3 +128,36 @@ def test_driver_metrics_and_validate(tmp_path):
     assert m["columns"] == 4 and m["all_finite"]
     assert m["columns_per_sec"] > 0
     assert m["driver"] == "lw" and m["n_quad_angles"] == 1
+
+
+def test_stream_chunks_depth_semantics():
+    """stream_chunks must drain every chunk exactly once, in order, at
+    every pipeline depth, hold at most ``depth`` chunks in flight behind
+    the drain point, and report the per-phase latency budget keys."""
+    from ecckd_tpu.parallel.scale import stream_chunks
+
+    for depth in (1, 2, 3, 7):
+        inflight = {"now": 0, "max": 0}
+        drained = []
+
+        def step(i):
+            inflight["now"] += 1
+            inflight["max"] = max(inflight["max"], inflight["now"])
+            return {"val": np.full((4,), float(i)), "id": np.int32(i)}
+
+        def consume(host, meta):
+            inflight["now"] -= 1
+            assert float(host["val"][0]) == float(meta)
+            drained.append(int(meta))
+
+        n = 5
+        m = stream_chunks(step, (((i,), i) for i in range(n)),
+                          consume=consume, depth=depth)
+        assert drained == list(range(n)), (depth, drained)
+        assert m["n_chunks"] == n
+        # At most depth+1 chunks can be live at once (the one being
+        # dispatched plus depth waiting behind the drain point).
+        assert inflight["max"] <= depth + 1, (depth, inflight["max"])
+        for key in ("dispatch_s", "d2h_issue_s", "drain_wait_s",
+                    "consume_s", "wall_s"):
+            assert key in m
