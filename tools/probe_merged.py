@@ -119,14 +119,22 @@ def cheap_planck(t_row, planck_hi_ref, planck_lo_ref, planck_row0_ref, t0,
 def cheap_gas(b, logp_ref, dp_ref, tlay_ref, vmrp_ref, vmrs_ref,
               t_first_ref, specs, log_p0, inv_dlogp, inv_dt, mpp,
               lb=1, wp=16, wv=4):
+    # (ng, L) produced by a 1-deep matmul, NOT jnp.broadcast_to: Mosaic's
+    # lowering of a (1, L) -> (ng, L) broadcast trips an internal
+    # `limits[i] <= dim(i) (4 vs 1)` CHECK under ECCKD_MXU_PRECISION=bf16
+    # (round-5 finding); the dot lowers cleanly in both MXU modes and
+    # keeps the same data deps.
     import jax.experimental.pallas as pl
     d_p = dp_ref[pl.ds(b, 1), :]
     t = tlay_ref[pl.ds(b, 1), :]
+    row = d_p * mpp * F32(1e-5) + t * F32(1e-9)
     taus = []
     for spec in specs:
         ng = spec[0].ng_pad
-        taus.append(jnp.broadcast_to(d_p * mpp * F32(1e-5)
-                                     + t * F32(1e-9), (ng, d_p.shape[-1])))
+        ones = jnp.ones((ng, 1), dtype=jnp.bfloat16)
+        taus.append(jax.lax.dot_general(
+            ones, row.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=F32))
     return taus, d_p
 
 

@@ -28,8 +28,13 @@ the tool itself so the artifact is reproducible).  Per (shape, angles):
     (common.multi_angle_lw_sweeps).
 
 Usage:  python tools/shape_sweep_chip.py [--out SHAPES_CHIP.json]
-        [--angles 1,3]
-Exit 1 if any (shape, angles) leg exceeds the parity bound.
+        [--angles 1,3] [--fast]
+``--fast`` runs the sweep in the documented bf16 1-pass MXU mode
+(ECCKD_MXU_PRECISION=bf16) against the same f64 CPU anchor with the
+fast-mode 5e-4 parity bound (BENCH_FAST.json's gate class) and writes
+SHAPES_CHIP_FAST.json — fast-mode depth generality, mirroring the
+exact-mode artifact.  Exit 1 if any (shape, angles) leg exceeds the
+parity bound.
 """
 from __future__ import annotations
 
@@ -58,14 +63,21 @@ NCOL_TIME = 65536
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tools/shape_sweep_chip.py")
-    ap.add_argument("--out", default=os.path.join(_REPO_ROOT,
-                                                  "SHAPES_CHIP.json"))
+    ap.add_argument("--out", default=None)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--angles", default="1,3",
                     help="comma-separated LW Gauss angle counts to sweep "
                          "(default: both driver physics indices)")
+    ap.add_argument("--fast", action="store_true",
+                    help="sweep the bf16 1-pass MXU fast mode (5e-4 "
+                         "bound) -> SHAPES_CHIP_FAST.json")
     args = ap.parse_args(argv)
     angle_list = [int(a) for a in args.angles.split(",")]
+    bound = 5.0e-4 if args.fast else BOUND
+    if args.out is None:
+        args.out = os.path.join(
+            _REPO_ROOT,
+            "SHAPES_CHIP_FAST.json" if args.fast else "SHAPES_CHIP.json")
 
     import jax
     # x64 is enabled ONLY around the f64 CPU-anchor legs (scoped
@@ -80,6 +92,10 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
     import chip_parity
+    if args.fast:
+        from ecckd_tpu.config import set_mxu_precision
+        set_mxu_precision("bf16")   # pallas-only flag; f64 XLA anchor
+        # legs are unaffected (ops/pallas/common._MXU_MODE consumers)
     from ecckd_tpu.models.loader import load_ckd_model
     from ecckd_tpu.ops.pallas.lw import derive_layer_block
     from ecckd_tpu.pipeline import lw_sw_fluxes
@@ -164,7 +180,7 @@ def main(argv=None) -> int:
             float(step()); float(step())    # warmup + big-shape compile
             steps[ang] = step
 
-            leg_ok = max(rel_lw, rel_sw) <= BOUND
+            leg_ok = max(rel_lw, rel_sw) <= bound
             ok = ok and leg_ok
             shape["angles"][str(ang)] = {
                 "parity_max_rel_lw": rel_lw, "parity_max_rel_sw": rel_sw,
@@ -207,9 +223,11 @@ def main(argv=None) -> int:
     out = {"generated_by": "tools/shape_sweep_chip.py",
            "date": datetime.date.today().isoformat(),
            "anchor": "XLA path, float64, host CPU backend",
-           "bound": BOUND, "ncol_timing": NCOL_TIME,
+           "bound": bound, "ncol_timing": NCOL_TIME,
            "angles": angle_list,
-           "mxu_precision": os.environ.get("ECCKD_MXU_PRECISION", "bf16x3"),
+           "mxu_precision": ("bf16" if args.fast else
+                             os.environ.get("ECCKD_MXU_PRECISION",
+                                            "bf16x3")),
            "pass": ok, "shapes": results}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
