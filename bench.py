@@ -357,20 +357,25 @@ def run_bench(mode: str) -> None:
     }
     mxu = os.environ.get("ECCKD_MXU_PRECISION", "bf16x3")
     if mxu != "bf16x3":
-        # Non-default MXU mode: record the dedicated artifact (the fast
-        # mode's README row quotes BENCH_FAST.json — the single source of
-        # truth enforced by tools/check_perf_claims.py) instead of
-        # letting the number pass as the exact-mode headline.
+        # Non-default MXU mode: tag the output so the number can never
+        # pass as the exact-mode headline...
         import datetime
         out["mxu_precision"] = mxu
         out["ncol"] = ncol
         out["date"] = datetime.date.today().isoformat()
-        name = ("BENCH_FAST.json" if mxu == "bf16"
-                else f"BENCH_{mxu}.json")
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               name), "w") as f:
-            json.dump(out, f, indent=1)
-            f.write("\n")
+        # ...and record the dedicated artifact (the fast mode's README
+        # row quotes BENCH_FAST.json, drift-checked by
+        # tools/check_perf_claims.py) ONLY from the headline 524k-batch
+        # protocol: a smoke run at a smaller ECCKD_BENCH_NCOL must not
+        # overwrite the committed source-of-truth number.
+        if ncol == 524288:
+            name = ("BENCH_FAST.json" if mxu == "bf16"
+                    else f"BENCH_{mxu}.json")
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    name), "w") as f:
+                json.dump(out, f, indent=1)
+                f.write("\n")
     print(json.dumps(out))
 
 

@@ -196,7 +196,11 @@ def main(argv=None) -> int:
             else jnp.sum(outs[0])
 
     float(_ref_step()); float(_ref_step())
-    iters = max(2 * len(pending), 8)
+    # Fixed-size reference epoch: the in-process compute rate estimate
+    # converges in ~a dozen batched dispatches; scaling iters with the
+    # workload (the old 2*len(pending)) made a million-column run pay
+    # ~2x its own compute again just to measure the denominator.
+    iters = min(max(2 * len(pending), 8), 16)
     t0 = _time.perf_counter()
     acc = _ref_step()
     for _ in range(iters - 1):

@@ -383,10 +383,11 @@ def chunk_set(ref, j: int, val, lb: int, ctile: int) -> None:
     ref[b, :, l * ctile:(l + 1) * ctile] = val
 
 
-def roll_angle_sweeps(nlay: int, n_angles: int) -> bool:
+def roll_angle_sweeps() -> bool:
     """Whether the multi-angle LW sweeps run BLOCK-ROLLED (a fori32 over
     layer blocks with static in-block lane chunks) instead of fully
-    Python-unrolled over nlay layers per angle.
+    Python-unrolled over nlay layers per angle.  Unconditional (no shape
+    heuristic): rolled measured never-worse at every depth probed.
 
     The unrolled form emits nlay * n_angles * 2 sweep bodies per kernel
     trace: at nlay=137 / 3 angles that measured a 28.5 s first-call
@@ -436,7 +437,7 @@ def multi_angle_lw_sweeps(secants, weights, tau_s, play_s, plevb_s,
       roll: static — see roll_angle_sweeps.
     """
     from jax.experimental import pallas as pl
-    import math
+    from ecckd_tpu import constants
     pad_tail = n_blk * lb > nlay
 
     def layer_math(ts, lay, lev_dec, lev_inc):
@@ -451,7 +452,12 @@ def multi_angle_lw_sweeps(secants, weights, tau_s, play_s, plevb_s,
 
     for sec_f, wgt in zip(secants, weights):
         sec = F32(sec_f)
-        w2pi_a = F32(2.0 * math.pi * wgt)
+        # constants.PI, not math.pi: the repo's spec constant everywhere
+        # else (f32-bitwise identical for all 10 quadrature weights —
+        # verified — so this is program-neutral today; it keeps the
+        # multi-angle path tied to the same constant as the 1-angle path
+        # if the spec constant ever changes).
+        w2pi_a = F32(2.0 * constants.PI * wgt)
 
         if not roll:
             # Legacy fully-unrolled form (static chunk reads; A/B anchor).

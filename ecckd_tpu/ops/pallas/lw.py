@@ -160,7 +160,8 @@ def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
     chunk = lambda ref, j: common.chunk(ref, j, lb, ctile)
 
     if one_angle:
-        sec = F32(secants[0])
+        # The secant is already folded into blk_a_s/trans during phase A;
+        # only the quadrature weight enters here.
         w2pi = F32(2.0 * constants.PI * weights[0])
 
         rad = jnp.zeros_like(sfc_src)
@@ -398,7 +399,7 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
         secants=tuple(secants), weights=tuple(weights), lb=lb, n_blk=n_blk,
         n_blk_lev=n_blk_lev, ctile=ct, wp=P_WINDOW, wv=V_WINDOW,
         inblock=INKERNEL_BLOCK,
-        roll=common.roll_angle_sweeps(nlay, n_gauss_angles))
+        roll=common.roll_angle_sweeps())
 
     nlev = nlay + 1
     n_vp, n_vs = vmrp_t.shape[0], vmrs_t.shape[0]

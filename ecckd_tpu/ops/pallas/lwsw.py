@@ -429,7 +429,7 @@ def lwsw_fluxes_fused(model_lw: CKDModel, model_sw: CKDModel,
 
     secants, weights = gauss_angles(n_gauss_angles)
     one_angle = n_gauss_angles == 1
-    roll = common.roll_angle_sweeps(nlay, n_gauss_angles)
+    roll = common.roll_angle_sweeps()
     kernel = functools.partial(
         _lwsw_kernel, lw_plan=p_lw, sw_plan=p_sw, lw_kinds=lw_kinds,
         sw_kinds=sw_kinds, nlay=nlay, n_planck=n_planck, npl_pad=npl_pad,

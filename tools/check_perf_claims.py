@@ -58,10 +58,18 @@ def check() -> list:
             line = line.strip()
             if line.startswith("{") and '"metric"' in line:
                 value = json.loads(line).get("value")
-        if value is not None:
-            compare("headline exact",
-                    _readme_value(readme, r"Fused Pallas mega-kernels"),
-                    os.path.basename(bench_files[-1]), value)
+        if value is None:
+            # A BENCH_r*.json with no parseable metric line (failed or
+            # truncated driver run) must FAIL the check, not silently
+            # drop the headline comparison — a silent skip is exactly
+            # the drift class this tool exists to close.
+            raise SystemExit(
+                f"perf claims: FAIL — {os.path.basename(bench_files[-1])}"
+                " has no parseable bench metric line; the README headline"
+                " cannot be verified against it")
+        compare("headline exact",
+                _readme_value(readme, r"Fused Pallas mega-kernels"),
+                os.path.basename(bench_files[-1]), value)
 
     # Fast mode: dedicated 524k-batch artifact.
     fast_path = os.path.join(REPO, "BENCH_FAST.json")
