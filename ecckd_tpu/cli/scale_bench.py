@@ -196,17 +196,23 @@ def main(argv=None) -> int:
             else jnp.sum(outs[0])
 
     float(_ref_step()); float(_ref_step())
-    # Fixed-size reference epoch: the in-process compute rate estimate
+    # Fixed-size reference epochs: the in-process compute rate estimate
     # converges in ~a dozen batched dispatches; scaling iters with the
     # workload (the old 2*len(pending)) made a million-column run pay
     # ~2x its own compute again just to measure the denominator.
+    # BEST-OF-EPOCHS, per the repo timing protocol (CLAUDE.md): a single
+    # mean landing in a slow chip epoch would understate compute_ref and
+    # inflate overlap_efficiency (streamed/compute_ref) past 1.0.
     iters = min(max(2 * len(pending), 8), 16)
-    t0 = _time.perf_counter()
-    acc = _ref_step()
-    for _ in range(iters - 1):
-        acc = acc + _ref_step()
-    float(acc)
-    compute_ref = args.chunk * iters / (_time.perf_counter() - t0)
+    best = 1e30
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        acc = _ref_step()
+        for _ in range(iters - 1):
+            acc = acc + _ref_step()
+        float(acc)
+        best = min(best, (_time.perf_counter() - t0) / iters)
+    compute_ref = args.chunk / best
 
     metrics = run_weak_scaling(step, chunk_builder, n_chunks, args.chunk,
                                mesh=mesh, consume=consume, warmup=1,

@@ -57,7 +57,7 @@ SW = ("/root/reference/data/"
 
 # (nlay, parity ncol): odd + non-multiple of both the 128 and 256 tiles.
 SHAPES = [(30, 293), (47, 331), (60, 293), (91, 275), (137, 261)]
-BOUND = 5.0e-5           # bf16x3 contract vs the f64 anchor
+# Parity bounds come from chip_parity.BOUNDS (5e-5 exact / 5e-4 fast).
 NCOL_TIME = 65536
 
 
@@ -73,11 +73,18 @@ def main(argv=None) -> int:
                          "bound) -> SHAPES_CHIP_FAST.json")
     args = ap.parse_args(argv)
     angle_list = [int(a) for a in args.angles.split(",")]
-    bound = 5.0e-4 if args.fast else BOUND
+    # The EFFECTIVE MXU mode decides the bound and the artifact name:
+    # --fast and ECCKD_MXU_PRECISION=bf16 are the same request (every
+    # other fast-mode tool is env-driven), and gating bf16 kernels at
+    # the exact bound — or overwriting SHAPES_CHIP.json with a bf16
+    # record — must be impossible by construction.
+    env_mode = os.environ.get("ECCKD_MXU_PRECISION", "bf16x3")
+    fast = args.fast or env_mode == "bf16"
+    mode = "bf16" if fast else env_mode
     if args.out is None:
         args.out = os.path.join(
             _REPO_ROOT,
-            "SHAPES_CHIP_FAST.json" if args.fast else "SHAPES_CHIP.json")
+            "SHAPES_CHIP_FAST.json" if fast else "SHAPES_CHIP.json")
 
     import jax
     # x64 is enabled ONLY around the f64 CPU-anchor legs (scoped
@@ -92,7 +99,14 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
     import chip_parity
-    if args.fast:
+    # Parity bound: the single source of truth is chip_parity.BOUNDS
+    # (5e-5 exact / 5e-4 fast) — re-hardcoding it here would let a
+    # retune there silently leave this sweep gating at stale values.
+    if mode not in chip_parity.BOUNDS:
+        ap.error(f"no parity bound defined for MXU mode {mode!r} "
+                 f"(gated modes: {sorted(chip_parity.BOUNDS)})")
+    bound = chip_parity.BOUNDS[mode]
+    if fast:
         from ecckd_tpu.config import set_mxu_precision
         set_mxu_precision("bf16")   # pallas-only flag; f64 XLA anchor
         # legs are unaffected (ops/pallas/common._MXU_MODE consumers)
@@ -225,9 +239,7 @@ def main(argv=None) -> int:
            "anchor": "XLA path, float64, host CPU backend",
            "bound": bound, "ncol_timing": NCOL_TIME,
            "angles": angle_list,
-           "mxu_precision": ("bf16" if args.fast else
-                             os.environ.get("ECCKD_MXU_PRECISION",
-                                            "bf16x3")),
+           "mxu_precision": mode,
            "pass": ok, "shapes": results}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
