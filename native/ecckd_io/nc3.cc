@@ -203,6 +203,30 @@ std::string Reader::name() {
   return s;
 }
 
+bool Reader::read_u32(uint32_t* v, std::string* err) {
+  if (!need(4, err)) return false;
+  *v = u32();
+  return true;
+}
+
+bool Reader::read_offset(int64_t* v, std::string* err) {
+  if (!need(version_ == 1 ? 4 : 8, err)) return false;
+  *v = offset();
+  return true;
+}
+
+bool Reader::read_name(std::string* s, std::string* err) {
+  uint32_t n;
+  if (!read_u32(&n, err)) return false;
+  // need(n) first: pad4(n) can wrap for a garbage length near
+  // UINT32_MAX, but any n beyond the header already fails here (and a
+  // chunk-straddling name keys Open()'s grow-retry via the sentinel).
+  if (!need(n, err) || !need(pad4(n), err)) return false;
+  s->assign(reinterpret_cast<const char*>(header_.data() + pos_), n);
+  pos_ += pad4(n);
+  return true;
+}
+
 bool Reader::parse_atts(std::vector<Att>* out, std::string* err) {
   if (!need(8, err)) return false;
   uint32_t tag = u32();
@@ -214,14 +238,20 @@ bool Reader::parse_atts(std::vector<Att>* out, std::string* err) {
   }
   for (uint32_t i = 0; i < count; ++i) {
     Att a;
-    a.name = name();
-    a.type = static_cast<int32_t>(u32());
-    uint32_t n = u32();
+    uint32_t atype, n;
+    if (!read_name(&a.name, err) || !read_u32(&atype, err) ||
+        !read_u32(&n, err))
+      return false;
+    a.type = static_cast<int32_t>(atype);
     size_t es = type_size(a.type);
-    if (es == 0 || !need(pad4(n * es), err)) {
+    if (es == 0) {
       *err = "bad attribute payload";
       return false;
     }
+    // need() keeps its "truncated netCDF header" sentinel here: a
+    // payload straddling the read chunk must key Open()'s grow-retry,
+    // not surface as a corrupt-file error.
+    if (!need(pad4(n * es), err)) return false;
     if (a.type == NC_CHAR) {
       a.text.assign(reinterpret_cast<const char*>(header_.data() + pos_), n);
     } else {
@@ -287,8 +317,9 @@ bool Reader::Parse(std::string* err) {
   if (tag == TAG_DIM) {
     for (uint32_t i = 0; i < count; ++i) {
       Dim d;
-      d.name = name();
-      d.size = static_cast<int64_t>(u32());
+      uint32_t sz;
+      if (!read_name(&d.name, err) || !read_u32(&sz, err)) return false;
+      d.size = static_cast<int64_t>(sz);
       d.is_record = (d.size == 0);
       dims_.push_back(std::move(d));
     }
@@ -304,12 +335,18 @@ bool Reader::Parse(std::string* err) {
   if (tag == TAG_VAR) {
     for (uint32_t i = 0; i < count; ++i) {
       Var v;
-      v.name = name();
-      uint32_t nd = u32();
+      uint32_t nd;
+      if (!read_name(&v.name, err) || !read_u32(&nd, err)) return false;
       v.is_record = false;
       v.num_elems_per_record = 1;
       for (uint32_t k = 0; k < nd; ++k) {
-        int32_t id = static_cast<int32_t>(u32());
+        uint32_t raw;
+        if (!read_u32(&raw, err)) return false;
+        int32_t id = static_cast<int32_t>(raw);
+        if (id < 0 || static_cast<size_t>(id) >= dims_.size()) {
+          *err = "bad dimension id in variable " + v.name;
+          return false;
+        }
         v.dimids.push_back(id);
         if (dims_[id].is_record)
           v.is_record = true;
@@ -317,9 +354,12 @@ bool Reader::Parse(std::string* err) {
           v.num_elems_per_record *= dims_[id].size;
       }
       if (!parse_atts(&v.atts, err)) return false;
-      v.type = static_cast<int32_t>(u32());
-      v.vsize = static_cast<int64_t>(u32());
-      v.begin = offset();
+      uint32_t vtype, vsize;
+      if (!read_u32(&vtype, err) || !read_u32(&vsize, err) ||
+          !read_offset(&v.begin, err))
+        return false;
+      v.type = static_cast<int32_t>(vtype);
+      v.vsize = static_cast<int64_t>(vsize);
       vars_.push_back(std::move(v));
     }
   } else if (tag != ABSENT) {
@@ -339,6 +379,21 @@ bool Reader::Parse(std::string* err) {
     for (const Var& v : vars_)
       if (v.is_record)
         recsize_ = v.num_elems_per_record * (int64_t)type_size(v.type);
+  // STREAMING convention: numrecs = 0xFFFFFFFF means "derive from the
+  // file size" (CDF spec) — without this, var_shape() would report
+  // ~4.3e9 records and a reader would try to allocate/stream them.
+  if (numrecs_ == 0xFFFFFFFFll) {
+    if (n_rec_vars == 0 || recsize_ <= 0) {
+      numrecs_ = 0;
+    } else {
+      int64_t first = -1;
+      for (const Var& v : vars_)
+        if (v.is_record && (first < 0 || v.begin < first)) first = v.begin;
+      numrecs_ = first < 0 ? 0
+                           : std::max<int64_t>(0, (file_size_ - first) /
+                                                      recsize_);
+    }
+  }
   return true;
 }
 
@@ -364,19 +419,39 @@ int64_t Reader::var_elems(int vid) const {
 bool Reader::read_var_double(int vid, double* out, std::string* err) const {
   const Var& v = vars_[vid];
   size_t es = type_size(v.type);
+  if (es == 0) {
+    // An unknown type code must be a loud error: type_size(unknown)==0
+    // would make the pread below a 0-byte "success" and decode_elem
+    // would silently return zeros for every element.
+    *err = "unknown type for variable " + v.name;
+    return false;
+  }
   int64_t per_rec = v.num_elems_per_record;
   int64_t nrec = v.is_record ? numrecs_ : 1;
-  std::vector<uint8_t> buf(per_rec * es);
+  // Per-record payloads are read in bounded slabs: a single pread
+  // transfers at most 0x7ffff000 bytes on Linux, so a >=2 GiB CDF-2
+  // variable would otherwise fail with a short read on a valid file.
+  constexpr int64_t kSlab = 256ll << 20;
+  std::vector<uint8_t> buf(
+      static_cast<size_t>(std::min<int64_t>(per_rec * (int64_t)es, kSlab)));
   for (int64_t r = 0; r < nrec; ++r) {
-    int64_t off = v.begin + (v.is_record ? r * recsize_ : 0);
-    ssize_t got = pread(fd_, buf.data(), buf.size(), off);
-    if (got != (ssize_t)buf.size()) {
-      *err = "short data read for " + v.name;
-      return false;
-    }
+    int64_t rec_off = v.begin + (v.is_record ? r * recsize_ : 0);
     double* dst = out + r * per_rec;
-    for (int64_t i = 0; i < per_rec; ++i)
-      dst[i] = decode_elem(buf.data() + i * es, v.type);
+    int64_t done = 0;                       // elements decoded so far
+    while (done < per_rec) {
+      int64_t elems = std::min<int64_t>(per_rec - done,
+                                        kSlab / (int64_t)es);
+      int64_t bytes = elems * (int64_t)es;
+      ssize_t got = pread(fd_, buf.data(), bytes,
+                          rec_off + done * (int64_t)es);
+      if (got != (ssize_t)bytes) {
+        *err = "short data read for " + v.name;
+        return false;
+      }
+      for (int64_t i = 0; i < elems; ++i)
+        dst[done + i] = decode_elem(buf.data() + i * es, v.type);
+      done += elems;
+    }
   }
   return true;
 }
@@ -445,6 +520,18 @@ bool Writer::put_var_double(int vid, const double* data, int64_t n,
 }
 
 bool Writer::finish(std::string* err) {
+  // Every defined variable must have been written: begins[] advances by
+  // data_[i].size(), so an unfilled variable would silently alias the
+  // NEXT variable's bytes (its header vsize still claims the full
+  // padded size) — a corrupt file with no error anywhere.
+  for (size_t i = 0; i < vars_.size(); ++i) {
+    int64_t want = pad4(vars_[i].num_elems_per_record *
+                        (int64_t)type_size(vars_[i].type));
+    if ((int64_t)data_[i].size() != want) {
+      *err = "variable " + vars_[i].name + " defined but never written";
+      return false;
+    }
+  }
   std::vector<uint8_t> hdr;
   hdr.insert(hdr.end(), {'C', 'D', 'F', 2});  // CDF-2: 64-bit offsets
   append_u32(&hdr, 0);                        // numrecs

@@ -91,6 +91,13 @@ class Reader {
   uint32_t u32();
   int64_t offset();
   std::string name();
+  // Bounds-checked variants: every header read goes through these so a
+  // truncated / corrupt / chunk-straddling header surfaces as the
+  // "truncated netCDF header" sentinel (Open()'s grow-retry key) or a
+  // clean parse error — never an out-of-bounds read.
+  bool read_u32(uint32_t* v, std::string* err);
+  bool read_offset(int64_t* v, std::string* err);
+  bool read_name(std::string* s, std::string* err);
   bool parse_atts(std::vector<Att>* out, std::string* err);
 };
 

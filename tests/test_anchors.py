@@ -49,11 +49,41 @@ def test_planck_table_integrates_to_sigma_t4(ckd):
     assert abs(rel[T == 288.0][0]) < 2e-4
 
 
+def test_quadrature_tables_closed_form():
+    """Transcription-independent anchor for EVERY secant and weight in
+    solvers/quadrature.py.  In the saturated-cavity test below the
+    radiance is isotropic, so only sum(w) is pinned there; this test
+    pins the nodes themselves:
+
+    * Orders 2-4 are Gauss quadratures for the first-moment measure
+      int_0^1 f(mu) mu dmu (the flux integral 2*pi*int B(mu) mu dmu):
+      sum_i w_i * mu_i**k == 1/(k+2) EXACTLY for k = 0..2n-1 — moment
+      exactness through degree 2n-1 pins all n secants and n weights
+      against closed-form truth (measured table precision ~3e-9).
+    * Order 1 is NOT a Gauss node: it is the Elsasser diffusivity
+      approximation, secant 1.66 and weight 0.5 exactly
+      (ecckd_rfmip_lw.F90:40-44's single-angle physics index).
+    """
+    from ecckd_tpu.solvers.quadrature import GAUSS_SECANTS, GAUSS_WEIGHTS
+
+    assert GAUSS_SECANTS[0] == (1.66,)
+    assert GAUSS_WEIGHTS[0] == (0.5,)
+    for n in (1, 2, 3):   # 2-, 3-, 4-angle sets
+        secs = np.asarray(GAUSS_SECANTS[n], np.float64)
+        ws = np.asarray(GAUSS_WEIGHTS[n], np.float64)
+        mus = 1.0 / secs
+        for k in range(2 * (n + 1)):
+            moment = float((ws * mus ** k).sum())
+            assert abs(moment - 1.0 / (k + 2)) < 1e-8, (
+                f"{n + 1}-angle set violates moment {k}: {moment}")
+
+
 @pytest.mark.parametrize("n_angles", [1, 2, 3, 4])
 def test_lw_isothermal_blackbody_all_quadratures(n_angles):
     """Optically thick isothermal cavity: up == dn == pi*B(T) at every
-    interior level for every quadrature order.  A wrong secant or weight
-    in ANY angle set breaks the angular integral."""
+    interior level for every quadrature order.  The radiance here is
+    isotropic, so this pins sum(w) = 0.5 per order (the node positions
+    are pinned by test_quadrature_tables_closed_form above)."""
     model = load_ckd_model(LW_FSCK, dtype=np.float64)
     ncol, nlay, T = 3, 24, 288.0
     ngpt = model.ngpt

@@ -182,7 +182,17 @@ def _launch(port: int, nproc: int):
         procs.append(subprocess.Popen(
             [sys.executable, "-c", WORKER], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    return [(p, p.communicate(timeout=900)[0]) for p in procs]
+    try:
+        return [(p, p.communicate(timeout=900)[0]) for p in procs]
+    finally:
+        # A deadlocked worker (e.g. jax.distributed.initialize waiting on
+        # a dead peer) raises TimeoutExpired above; without this, BOTH
+        # children would outlive the test holding the coordinator port
+        # and CPU, and the retry would stack two more alongside them.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
 
 
 @pytest.mark.filterwarnings("ignore")

@@ -135,3 +135,43 @@ def test_ckd_loader_native_matches_scipy(monkeypatch):
     assert treedef_n == treedef_s  # static metadata incl. grid_key equal
     for a, b in zip(leaves_n, leaves_s):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_writer_rejects_unwritten_variable(tmp_path):
+    """finish() must REFUSE a defined-but-never-written variable: its
+    empty buffer would otherwise give it the same begin offset as the
+    next variable (header vsize still claims the full padded size), so
+    a reader silently returns the next variable's bytes for it."""
+    nc3 = _native()
+    p = str(tmp_path / "alias.nc")
+    w = nc3.NativeWriter(p)
+    w.def_dim("x", 4)
+    w.def_var("a", "d", ("x",))
+    w.def_var("b", "d", ("x",))
+    w.put_var("b", np.arange(4.0))
+    with pytest.raises(OSError, match="never written"):
+        w.finish()
+
+
+def test_reader_rejects_truncated_header(tmp_path):
+    """A file cut mid-header must fail with a clean error (the grow-retry
+    stops at the file size), never an out-of-bounds read or a garbage
+    parse."""
+    nc3 = _native()
+    good = str(tmp_path / "good.nc")
+    w = nc3.NativeWriter(good)
+    w.def_dim("x", 8)
+    w.def_var("long_variable_name_to_cut_through", "d", ("x",))
+    w.put_var("long_variable_name_to_cut_through", np.arange(8.0))
+    w.put_att(None, "title", "truncate me")
+    w.finish()
+    blob = open(good, "rb").read()
+    # Cut inside the header (before any variable data): every prefix
+    # must be rejected cleanly.  Step through a range of cuts including
+    # mid-name and mid-length positions.
+    for cut in range(5, min(len(blob) - 65, 200), 7):
+        bad = str(tmp_path / f"cut{cut}.nc")
+        with open(bad, "wb") as f:
+            f.write(blob[:cut])
+        with pytest.raises(OSError):
+            nc3.NativeReader(bad)
