@@ -10,9 +10,15 @@ Design notes (vs the Fortran original):
   gas set, with no runtime name matching.
 * Values may be scalars, (ncol,) or (ncol, nlay) arrays; ``get_vmr``
   broadcasts to (ncol, nlay) like the reference's scalar broadcast.
-* Insertion order is preserved — the reference accumulates optical depth in
-  requested-gas order, and float addition order matters for bit-level
-  reproducibility (gas_optics_ecckd.f90:348-374).
+* Insertion order is preserved — the reference iterates the requested-gas
+  list in order (gas_optics_ecckd.f90:348-374), and deterministic order
+  is what makes the resolved contribution list (and composite-once
+  semantics) a stable part of the traced program.  NOTE: tau
+  ACCUMULATION order downstream is not bit-for-bit the reference's
+  serial order — ops/optical_depth sums the stacked dense-gas
+  contributions in one reduction and adds the LUT gas after — so
+  parity with the Fortran chain is tolerance-level (the repo's
+  documented contract), not addition-order-exact.
 """
 from __future__ import annotations
 

@@ -9,9 +9,12 @@ layer (Clough et al. 1992 Eq. 13 form), surface emission ``emis * B_sfc`` and
 isotropic-in-angle reflection ``(1 - emis)``, then quadrature-sum to fluxes
 and sum over g-points to broadband.
 
-Design: the up/down sweeps are affine layer recurrences evaluated by
-``associative_scan`` (see solvers/scan.py); the angle loop (1 or 3) is a
-static Python loop so XLA fuses everything into one program.
+Design: the up/down sweeps are affine layer recurrences evaluated by a
+sequential ``lax.scan`` (solvers/scan.py — the associative-scan form was
+benchmarked and REJECTED there: >10x compile-time inflation and a
+non-sequential reduction order that breaks bit reproducibility); the
+angle loop (1 or 3) is a static Python loop so XLA fuses everything
+into one program.
 """
 from __future__ import annotations
 
@@ -24,7 +27,13 @@ from ecckd_tpu.optics import OpticalProps1scl, SourceFuncLW
 from ecckd_tpu.solvers.quadrature import gauss_angles
 from ecckd_tpu.solvers.scan import affine_sweep_broadband
 
-TWO_PI = 6.28318530718
+from ecckd_tpu import constants
+
+# Derived, not retyped: planck.py divides by constants.PI and the flux
+# reconstruction here multiplies by 2*pi — the exact pi*B round-trip
+# depends on the two staying consistent (doubling is exact in binary,
+# so this is bit-identical to the old hand-typed 6.28318530718).
+TWO_PI = 2.0 * constants.PI
 
 
 def _linear_in_tau_sources(tau_slant: jax.Array, trans: jax.Array,
@@ -64,8 +73,11 @@ def rte_lw(optical_props: OpticalProps1scl, sources: SourceFuncLW,
       top_at_1: True if layer index 0 is the top of the atmosphere.
       n_gauss_angles: quadrature order (the reference drivers use 1 or 3,
         ecckd_rfmip_lw.F90:40-44).
-      inc_flux_gpt: optional incident flux at TOA per g-point (ncol, ngpt);
-        default zero (no downwelling LW at TOA).
+      inc_flux_gpt: optional ISOTROPIC incident flux at TOA per g-point
+        (ncol, ngpt); default zero (no downwelling LW at TOA).  The flux
+        is converted to the per-angle boundary radiance F/pi internally,
+        so a transparent atmosphere returns exactly this flux at every
+        level and quadrature order.
 
     Returns:
       (flux_up, flux_dn) broadband [W m-2], each (ncol, nlay+1), in the same
@@ -92,7 +104,14 @@ def rte_lw(optical_props: OpticalProps1scl, sources: SourceFuncLW,
     flux_dn = jnp.zeros((ncol, nlay + 1), dtype)
     zero_top = jnp.zeros((ncol, ngpt), dtype)
     if inc_flux_gpt is not None:
-        zero_top = inc_flux_gpt.astype(dtype)
+        # Isotropic incident FLUX -> per-angle boundary RADIANCE I = F/pi
+        # (RTE convention): the quadrature then reconstructs the flux
+        # exactly, sum_i 2*pi*w_i*I = 2*pi*0.5*(F/pi) = F at every order.
+        # Feeding F directly would deliver pi*F at TOA (caught in round 5;
+        # tests/test_solver_lw.py pins the transparent-atmosphere
+        # round-trip).
+        zero_top = (inc_flux_gpt / jnp.asarray(constants.PI, dtype)
+                    ).astype(dtype)
 
     for secant, weight in zip(secants, weights):
         tau_slant = tau * jnp.asarray(secant, dtype)

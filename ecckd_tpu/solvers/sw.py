@@ -10,7 +10,8 @@ g-points.
 
 Recurrence structure (top-at-index-0 canonical form):
   * direct beam + downward diffuse sweeps are affine layer recurrences ->
-    associative_scan (solvers/scan.py);
+    sequential lax.scan (solvers/scan.py; the associative form was
+    benchmarked and rejected there);
   * the upward "albedo of the stack below" recurrence is a Mobius (linear
     fractional) map, evaluated with a 60-step lax.scan over the wide
     (ncol, ngpt) vector axes.
@@ -36,7 +37,8 @@ def rte_sw(optical_props: OpticalProps2str, mu0: jax.Array,
 
     Args:
       optical_props: tau/ssa/g, each (ncol, nlay, ngpt).
-      mu0: cosine of solar zenith angle, (ncol,).
+      mu0: cosine of solar zenith angle, (ncol,).  Columns with
+        mu0 <= 0 (sun below the horizon) return zero SW flux.
       toa_flux: TOA direct irradiance per g-point on a horizontal plane
         *per unit mu0* (ncol, ngpt); the solver multiplies by mu0.
       sfc_alb_dir_gpt / sfc_alb_dif_gpt: surface albedos per g-point,
@@ -51,6 +53,15 @@ def rte_sw(optical_props: OpticalProps2str, mu0: jax.Array,
     if not top_at_1:
         flip = lambda x: jnp.flip(x, axis=1)
         tau, ssa, g = flip(tau), flip(ssa), flip(g)
+
+    # Night / terminator columns (mu0 <= 0, a routine real-sky input):
+    # zero SW flux, NOT NaN.  The tau/mu0 exponentials overflow for
+    # mu0 <= 0, so compute those columns at a safe mu0 and zero their
+    # fluxes on return (same masking the CLI pipeline applies,
+    # ecckd_rfmip_sw.F90's cos(sza) handling; idempotent if the caller
+    # masked already).
+    night = mu0 <= 0.0
+    mu0 = jnp.where(night, jnp.ones_like(mu0), mu0)
 
     ts = two_stream(tau, ssa, g, mu0)
 
@@ -113,6 +124,10 @@ def rte_sw(optical_props: OpticalProps2str, mu0: jax.Array,
     flux_up = jnp.concatenate([up_top, jnp.moveaxis(up_sums, 0, 1)], axis=1)
     flux_dn_direct = jnp.sum(flux_dir, axis=-1)
     flux_dn = flux_dn_dif + flux_dn_direct
+    day = jnp.where(night, 0.0, 1.0).astype(flux_up.dtype)[:, None]
+    flux_up = flux_up * day
+    flux_dn = flux_dn * day
+    flux_dn_direct = flux_dn_direct * day
     if not top_at_1:
         flux_up = jnp.flip(flux_up, axis=1)
         flux_dn = jnp.flip(flux_dn, axis=1)

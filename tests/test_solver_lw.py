@@ -113,3 +113,30 @@ def test_lw_rfmip_like_full_column(lw_model):
     np.testing.assert_allclose(np.asarray(dn), dn_ref, rtol=1e-10)
     # Sanity: OLR in a physical range.
     assert 150.0 < float(np.asarray(up)[0, 0]) < 350.0
+
+
+@pytest.mark.parametrize("n_angles", [1, 2, 3, 4])
+def test_lw_inc_flux_transparent_roundtrip(n_angles):
+    """Isotropic incident TOA flux through a TRANSPARENT atmosphere must
+    come back exactly (not pi times itself) at every level and every
+    quadrature order: the solver converts flux -> per-angle radiance
+    F/pi and the quadrature reconstructs sum 2*pi*w*(F/pi) = F.
+    (Round-5 fix: feeding F directly as the boundary radiance delivered
+    pi*F.)"""
+    ncol, nlay, ngpt = 3, 6, 4
+    rng = np.random.default_rng(11)
+    tau = np.zeros((ncol, nlay, ngpt))
+    zeros = np.zeros((ncol, nlay, ngpt))
+    zlev = np.zeros((ncol, nlay + 1, ngpt))
+    src = SourceFuncLW(lay_source=zeros, lev_source_inc=zlev[:, 1:],
+                       lev_source_dec=zlev[:, :-1],
+                       sfc_source=np.zeros((ncol, ngpt)))
+    emis = np.ones((ncol, ngpt))      # black surface: no reflection back up
+    inc = rng.uniform(1.0, 10.0, (ncol, ngpt))
+    up, dn = rte_lw(OpticalProps1scl(tau=tau), src, emis,
+                    n_gauss_angles=n_angles, inc_flux_gpt=inc)
+    want = inc.sum(-1)
+    np.testing.assert_allclose(np.asarray(dn),
+                               want[:, None].repeat(nlay + 1, 1),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(up), 0.0, atol=1e-6)

@@ -146,3 +146,25 @@ def test_sw_rfmip_like_full_column(sw_model):
     np.testing.assert_allclose(np.asarray(dn), dn_ref, rtol=1e-9)
     np.testing.assert_allclose(np.asarray(dn)[:, 0], mu0 * tsi_target,
                                rtol=1e-9)
+
+
+def test_sw_night_columns_zero_not_nan():
+    """mu0 <= 0 (sun below the horizon, a routine real-sky input) must
+    return ZERO fluxes, not the Inf/NaN the tau/mu0 exponentials would
+    produce; day columns in the same batch are unaffected."""
+    tau, ssa, g, mu0, toa, a_dir, a_dif = random_problem(seed=12)
+    day_up, day_dn, day_dir = rte_sw(
+        OpticalProps2str(tau=tau, ssa=ssa, g=g), mu0, toa, a_dir, a_dif)
+    mu0_mixed = mu0.copy()
+    mu0_mixed[0] = 0.0
+    mu0_mixed[1] = -0.17      # ~100 degree zenith
+    up, dn, dirf = rte_sw(OpticalProps2str(tau=tau, ssa=ssa, g=g),
+                          mu0_mixed, toa, a_dir, a_dif)
+    for arr in (up, dn, dirf):
+        assert np.isfinite(np.asarray(arr)).all()
+        np.testing.assert_array_equal(np.asarray(arr)[:2], 0.0)
+    # Remaining (day) columns bitwise-match the all-day run.
+    np.testing.assert_array_equal(np.asarray(up)[2:],
+                                  np.asarray(day_up)[2:])
+    np.testing.assert_array_equal(np.asarray(dn)[2:],
+                                  np.asarray(day_dn)[2:])
