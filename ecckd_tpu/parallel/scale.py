@@ -126,8 +126,12 @@ def run_weak_scaling(step: Callable, chunk_builder: Callable[[int], tuple],
                      consume: Optional[Callable] = None,
                      warmup: int = 1,
                      chunk_ids: Optional[Sequence] = None,
-                     depth: int = 2, repeats: int = 1) -> dict:
-    """Chunked weak-scaling run.
+                     depth: int = 2) -> dict:
+    """Chunked weak-scaling run.  Every chunk's output reaches the
+    ``consume`` sink exactly once, in order (the invariant the restart
+    journal depends on); best-of-N measurement passes belong in the
+    caller (cli/scale_bench.py interleaves them with its compute
+    reference so chip-epoch drift cancels).
 
     Args:
       step: jitted flux step taking the chunk args.
@@ -140,13 +144,8 @@ def run_weak_scaling(step: Callable, chunk_builder: Callable[[int], tuple],
       chunk_ids: explicit chunk ids to process (restart-at-chunk: pass the
         not-yet-completed subset; defaults to range(n_chunks)).
       depth: in-flight chunks behind the drain point (see stream_chunks).
-      repeats: BEST-OF-N streamed passes (house timing protocol — the
-        tunneled chip's epochs drift one-sidedly slow, so a single pass
-        can understate the rate by 10-20%; only meaningful for pure
-        measurement runs: with a ``consume`` sink each repeat re-feeds
-        the same outputs, so callers writing real results keep 1).
 
-    Returns metrics (best pass) incl. columns/s and columns/s/device.
+    Returns metrics incl. columns/s and columns/s/device.
     """
     n_dev = mesh.devices.size if mesh is not None else 1
     ids = list(range(n_chunks)) if chunk_ids is None else list(chunk_ids)
@@ -159,11 +158,6 @@ def run_weak_scaling(step: Callable, chunk_builder: Callable[[int], tuple],
                              for i in range(warmup)), depth=depth)
     m = stream_chunks(step, ((placed(i), i) for i in ids),
                       consume=consume, depth=depth)
-    for _ in range(max(repeats, 1) - 1):
-        m2 = stream_chunks(step, ((placed(i), i) for i in ids),
-                           consume=consume, depth=depth)
-        if m2["wall_s"] < m["wall_s"]:
-            m = m2
     total_cols = len(ids) * chunk_cols
     cols_per_sec = total_cols / m["wall_s"]
     return {**m, "total_columns": total_cols, "n_devices": n_dev,
