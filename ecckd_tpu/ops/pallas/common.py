@@ -77,49 +77,28 @@ _LN2_HI = 0.693359375            # exact in f32, ln2 split for exact reduction
 _LN2_LO = -2.12194440e-4
 
 
-def exp_accurate(x: jax.Array) -> jax.Array:
-    """float32 exp to ~1-2 ulp inside a Mosaic kernel.
-
-    Mosaic lowers jnp.exp to the VPU's fast approximation (~5e-6 relative
-    error); compounded over a 60-layer transmittance sweep that costs
-    ~3e-4 in broadband flux.  Standard fix: range-reduce with a two-part
-    ln2 (exact in f32), evaluate a degree-6 Taylor polynomial on
-    r in [-ln2/2, ln2/2], and apply 2**n by integer exponent construction.
-    Valid for x <= ~80 (flushes to 0 below x < -87; the radiative-transfer
-    kernels only call it with x <= 0).
-    """
-    n = jnp.floor(x * F32(_LOG2E) + F32(0.5))
-    nc = jnp.clip(n, F32(-126.0), F32(127.0))
-    r = (x - nc * F32(_LN2_HI)) - nc * F32(_LN2_LO)
-    # exp(r), |r| <= ln2/2 + 1ulp: Taylor to r^6 (max term ~ 2e-9).
-    p = F32(1.0 / 720.0)
-    for c in (1.0 / 120.0, 1.0 / 24.0, 1.0 / 6.0, 0.5, 1.0, 1.0):
-        p = p * r + F32(c)
-    scale = pltpu_bitcast((nc.astype(jnp.int32) + 127) << 23, F32)
-    out = p * scale
-    return jnp.where(x < F32(-87.0), F32(0.0), out)
-
-
 def expm1_accurate(x: jax.Array) -> jax.Array:
     """float32 expm1 inside a Mosaic kernel: exp(x) - 1 without the
     catastrophic cancellation at |x| << 1 (where exp(x) ~ 1).
 
-    Single-polynomial form sharing exp_accurate's range reduction: with
-    n = round(x log2 e) and r the two-part-ln2 remainder, the degree-6
-    polynomial is evaluated structured as exp(r) = 1 + r + r^2 q(r), so
+    Mosaic lowers jnp.exp to the VPU's fast approximation (~5e-6
+    relative error); compounded over a 60-layer transmittance sweep
+    that costs ~3e-4 in broadband flux.  Standard fix: range-reduce
+    with a two-part ln2 (exact in f32), n = round(x log2 e) and r the
+    remainder, and evaluate one degree-6 polynomial structured as
+    exp(r) = 1 + r + r^2 q(r), so
       n == 0  ->  expm1 = r + r^2 q(r)        (r == x exactly; no 1-
                   cancellation; truncation < x^6/5040 relative)
       n != 0  ->  expm1 = 2^n (1 + r + r^2 q) - 1   (|result| >= 0.29:
-                  the subtraction is benign)
-    ~30% fewer VPU ops than the previous separate small-branch Taylor +
-    full exp_accurate evaluation, same ~2-3 ulp accuracy class at the
-    branch boundary.
+                  the subtraction is benign; 2^n by integer exponent
+                  construction)
+    ~2-3 ulp at the branch boundary.
 
-    Valid for x <= ~80, like exp_accurate: for larger positive x the
-    clipped scale saturates at 2^127 while the remainder r grows
-    unreduced, so the polynomial is evaluated far outside its domain and
-    the result is garbage (not a graceful inf).  The radiative-transfer
-    kernels only call this with x <= 0 (transmittance exponents)."""
+    Valid for x <= ~80: for larger positive x the clipped scale
+    saturates at 2^127 while the remainder r grows unreduced, so the
+    polynomial is evaluated far outside its domain and the result is
+    garbage (not a graceful inf).  The radiative-transfer kernels only
+    call this with x <= 0 (transmittance exponents)."""
     n = jnp.floor(x * F32(_LOG2E) + F32(0.5))
     nc = jnp.clip(n, F32(-126.0), F32(127.0))
     r = (x - nc * F32(_LN2_HI)) - nc * F32(_LN2_LO)
@@ -142,47 +121,27 @@ def pltpu_bitcast(x, dtype):
 
 import os
 
+# MXU contraction accuracy mode for every table contraction below.
+# Default is a manual 3-pass bf16 split (a_hi@b_hi + a_lo@b_hi +
+# a_hi@b_lo, each a single-pass bf16 MXU op): ~1e-7 relative — the same
+# accuracy class as Mosaic's HIGHEST (6-pass) at half the MXU time.
+# Modes via ECCKD_MXU_PRECISION:
+#   bf16x3   (default) ~f32-exact, the accuracy-faithful path;
+#   bf16     1-pass FAST mode: ~6e-4 relative in the interpolated
+#            coefficient, ~1e-4 in broadband flux — well inside the
+#            ecCKD models' own stated tolerance (0.05 K/day heating
+#            rate) and ~1.3x faster end-to-end (the contraction is MXU
+#            MAC-throughput-bound; each dropped pass measured
+#            ~3.5 ms/65k-col solve);
+#   highest  Mosaic's 6-pass f32 (validation experiments);
+#   default  legacy alias of bf16.
 _MXU_MODE = os.environ.get("ECCKD_MXU_PRECISION", "bf16x3")
-
-
-def matmul_f32(a: jax.Array, b: jax.Array) -> jax.Array:
-    """MXU contraction at ~float32 accuracy.
-
-    Default is a manual 3-pass bf16 split (a_hi@b_hi + a_lo@b_hi + a_hi@b_lo,
-    each a single-pass bf16 MXU op): ~1e-7 relative — the same accuracy class
-    as Mosaic's HIGHEST (6-pass) at half the MXU time.  Modes via
-    ECCKD_MXU_PRECISION:
-      bf16x3   (default) ~f32-exact, the accuracy-faithful path;
-      bf16     1-pass FAST mode: ~6e-4 relative in the interpolated
-               coefficient, ~1e-4 in broadband flux — well inside the
-               ecCKD models' own stated tolerance (0.05 K/day heating
-               rate) and ~1.3x faster end-to-end (the contraction is
-               MXU MAC-throughput-bound; each dropped pass measured
-               ~3.5 ms/65k-col solve);
-      highest  Mosaic's 6-pass f32 (validation experiments);
-      default  legacy alias of bf16.
-    """
-    dn = (((1,), (0,)), ((), ()))
-    if _MXU_MODE == "highest":
-        return jax.lax.dot_general(a, b, dimension_numbers=dn,
-                                   precision=jax.lax.Precision.HIGHEST,
-                                   preferred_element_type=F32)
-    if _MXU_MODE == "default":
-        return jax.lax.dot_general(a, b, dimension_numbers=dn,
-                                   precision=jax.lax.Precision.DEFAULT,
-                                   preferred_element_type=F32)
-    a_hi, a_lo = split_bf16(a)
-    b_hi, b_lo = split_bf16(b)
-    dot = lambda x, y: jax.lax.dot_general(
-        x, y, dimension_numbers=dn, precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=F32)
-    return dot(a_hi, b_hi) + (dot(a_lo, b_hi) + dot(a_hi, b_lo))
 
 
 def split_bf16(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Two-part bf16 split: hi + lo reproduces ``a`` to ~16 mantissa bits.
-    Used to hoist the lhs split of matmul_f32 out of kernel loops when the
-    lhs is loop-invariant (the stacked gas table, the Planck table).
+    Used to hoist the bf16x3 operand splits out of kernel loops when an
+    operand is loop-invariant (the stacked gas table, the Planck table).
 
     The rounding is done by INTEGER bit manipulation (round-to-nearest-even
     of the low 16 mantissa bits), NOT by an f32->bf16->f32 convert chain:
@@ -212,24 +171,6 @@ def split_bf16(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
     r = (u + I32(0x7FFF) + ((u >> 16) & I32(1))) & I32(-65536)
     hi_f = jax.lax.bitcast_convert_type(r, F32)
     return hi_f.astype(jnp.bfloat16), (a - hi_f).astype(jnp.bfloat16)
-
-
-def matmul_presplit(a_hi: jax.Array, a_lo: jax.Array, b: jax.Array
-                    ) -> jax.Array:
-    """matmul_f32 with the lhs bf16 split precomputed (see split_bf16).
-
-    In the fused kernels the lhs is the same table for every layer, so
-    splitting it per call would redo 2 casts over the full table each
-    iteration on the VPU; only the rhs (the per-layer one-hot) is split
-    here.  Respects ECCKD_MXU_PRECISION like matmul_f32."""
-    if _MXU_MODE != "bf16x3":
-        return matmul_f32(a_hi.astype(F32) + a_lo.astype(F32), b)
-    dn = (((1,), (0,)), ((), ()))
-    b_hi, b_lo = split_bf16(b)
-    dot = lambda x, y: jax.lax.dot_general(
-        x, y, dimension_numbers=dn, precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=F32)
-    return dot(a_hi, b_hi) + (dot(a_lo, b_hi) + dot(a_hi, b_lo))
 
 
 def split_for_mxu(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -263,7 +204,7 @@ def matmul_t_presplit(a_hi: jax.Array, a_lo: jax.Array, b_hi: jax.Array,
 
 def matmul_f32_t(a: jax.Array, b: jax.Array) -> jax.Array:
     """~f32-accurate MXU contraction of dim 0 of BOTH operands
-    ((R, K) x (R, C) -> (K, C)), 3-pass bf16 split like matmul_f32.
+    ((R, K) x (R, C) -> (K, C)), 3-pass bf16 split per _MXU_MODE.
     Used by the windowed table contraction, whose window is a dynamic
     f32 sublane slice (a bf16 pre-split would need 16-sublane-aligned
     offsets; splitting the small window here is cheap)."""
@@ -383,6 +324,64 @@ def chunk_set(ref, j: int, val, lb: int, ctile: int) -> None:
     ref[b, :, l * ctile:(l + 1) * ctile] = val
 
 
+def lw_layer_sources(ts, lay, lev_dec, lev_inc, thresh):
+    """Transmittance + linear-in-tau LW sources of one layer (or layer
+    block) at slant optical depth ``ts`` — THE single home of the
+    load-bearing per-layer LW math (radiation_ifs_rrtm-style linear-in-
+    tau source convention, gas_optics_ecckd.f90 chain; tests/oracle.py
+    is the scalar spec).  Shared verbatim by the 1-angle blocked phase A
+    (lw.py / lwsw.py) and the per-angle sweeps below, so a numerics fix
+    lands everywhere at once.
+
+    Returns (tr, src_dn, src_up): transmittance, downward and upward
+    path sources.  The thin-layer series below ``thresh`` replaces the
+    cancelling omt/ts - tr form."""
+    omt = -expm1_accurate(-ts)
+    tr = 1.0 - omt
+    fact = jnp.where(ts > thresh,
+                     omt / jnp.maximum(ts, thresh) - tr,
+                     ts * (0.5 - ts * (1.0 / 3.0)))
+    src_dn = omt * lev_inc + 2.0 * fact * (lay - lev_inc)
+    src_up = omt * lev_dec + 2.0 * fact * (lay - lev_dec)
+    return tr, src_dn, src_up
+
+
+def level_edges(plevb_s, b, n_blk_lev, ctile):
+    """(lev_dec, lev_inc) Planck edges of layer block ``b`` from the
+    blocked level-Planck scratch: dec edges of layers b*lb..b*lb+lb-1
+    are exactly level block b; inc edges are the same shifted one lane
+    chunk left, with the last chunk from the next level block (clamped
+    for the padded tail, whose layers the sweeps never read).  Shared
+    by lw.py and lwsw.py's 1-angle phase A."""
+    lev_dec = plevb_s[b]
+    b_next = jnp.minimum(b + 1, n_blk_lev - 1)
+    lev_inc = jnp.concatenate(
+        [lev_dec[:, ctile:], plevb_s[b_next][:, :ctile]], axis=1)
+    return lev_dec, lev_inc
+
+
+def sw_adding_up_step(r_dif, t_dif, albedo, src, src_up, src_dn):
+    """One bottom-up step of the SW adding method — albedo/source of the
+    stack below a level (Shonk & Hogan 2008 adding; two_stream.py's XLA
+    scan is the reference form).  Single home shared by sw.py and the
+    merged lwsw.py kernel.  Returns (denom, albedo_above, src_above);
+    ``denom`` is staged for the downward pass."""
+    denom = 1.0 / (1.0 - r_dif * albedo)
+    albedo_new = r_dif + t_dif * t_dif * albedo * denom
+    src_new = src_up + t_dif * denom * (src + albedo * src_dn)
+    return denom, albedo_new, src_new
+
+
+def sw_adding_dn_step(t_dif, r_dif, denom, dn, albedo_next, src_next,
+                      src_dn):
+    """One top-down step of the SW adding method: diffuse downward flux
+    through a layer and the upward flux at the level below.  Single home
+    shared by sw.py and lwsw.py.  Returns (dn_next, up_next)."""
+    dn_next = (t_dif * dn + r_dif * src_next + src_dn) * denom
+    up_next = dn_next * albedo_next + src_next
+    return dn_next, up_next
+
+
 def roll_angle_sweeps() -> bool:
     """Whether the multi-angle LW sweeps run BLOCK-ROLLED (a fori32 over
     layer blocks with static in-block lane chunks) instead of fully
@@ -441,14 +440,8 @@ def multi_angle_lw_sweeps(secants, weights, tau_s, play_s, plevb_s,
     pad_tail = n_blk * lb > nlay
 
     def layer_math(ts, lay, lev_dec, lev_inc):
-        omt = -expm1_accurate(-ts)
-        tr = 1.0 - omt
-        fact = jnp.where(ts > thresh,
-                         omt / jnp.maximum(ts, thresh) - tr,
-                         ts * (0.5 - ts * (1.0 / 3.0)))
-        src_dn = omt * lev_inc + 2.0 * fact * (lay - lev_inc)
-        src_up = omt * lev_dec + 2.0 * fact * (lay - lev_dec)
-        return tr, src_dn, src_up
+        # The shared single-home per-layer math (see lw_layer_sources).
+        return lw_layer_sources(ts, lay, lev_dec, lev_inc, thresh)
 
     for sec_f, wgt in zip(secants, weights):
         sec = F32(sec_f)

@@ -124,25 +124,18 @@ def _lw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
             lb=lb, wp=wp, wv=wv)
         play_blk = planck(tlay_ref[pl.ds(b, 1), :])
         if one_angle:
-            # dec edges of layers b*lb..b*lb+lb-1 are exactly level-block b;
-            # inc edges are the same shifted one chunk left, with the last
-            # chunk from the next level block (clamped for the padded tail,
-            # whose layers the sweeps never read).
-            lev_dec = plevb_s[b]
-            b_next = jnp.minimum(b + 1, n_blk_lev - 1)
-            lev_inc = jnp.concatenate(
-                [lev_dec[:, ctile:], plevb_s[b_next][:, :ctile]], axis=1)
-            ts = tau_blk * F32(secants[0])
-            # 1 - exp(-ts) via expm1 (cancellation-free for thin layers,
-            # matching solvers/lw.py's XLA path).
-            omt = -common.expm1_accurate(-ts)
-            tr = 1.0 - omt
-            fact = jnp.where(ts > thresh,
-                             omt / jnp.maximum(ts, thresh) - tr,
-                             ts * (0.5 - ts * (1.0 / 3.0)))
+            # Single-home blocked per-layer math: Planck level edges +
+            # transmittance/linear-in-tau sources (cancellation-free
+            # expm1, matching solvers/lw.py's XLA path) — see
+            # common.lw_layer_sources / level_edges.
+            lev_dec, lev_inc = common.level_edges(plevb_s, b, n_blk_lev,
+                                                  ctile)
+            tr, src_dn, src_up = common.lw_layer_sources(
+                tau_blk * F32(secants[0]), play_blk, lev_dec, lev_inc,
+                thresh)
             blk_a_s[b] = tr
-            blk_b_s[b] = omt * lev_inc + 2.0 * fact * (play_blk - lev_inc)
-            blk_c_s[b] = omt * lev_dec + 2.0 * fact * (play_blk - lev_dec)
+            blk_b_s[b] = src_dn
+            blk_c_s[b] = src_up
         else:
             blk_a_s[b] = tau_blk
             blk_b_s[b] = play_blk
@@ -326,7 +319,7 @@ def lw_fluxes_fused(model: CKDModel, plev: jax.Array, tlay: jax.Array,
     if not p.fused_ok:
         raise ValueError("fused path invalid for this model (negative "
                          "table entries); use the XLA path")
-    ng, npt = p.ng_pad, p.npt_pad
+    ng = p.ng_pad
     n_planck = int(model.planck_function.shape[0])
     npl_pad = ((n_planck + 15) // 16) * 16  # 16-aligned: headroom
     # left over from the abandoned Planck-window experiment (measured a

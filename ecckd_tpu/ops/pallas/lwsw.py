@@ -154,18 +154,13 @@ def _lwsw_kernel(params_ref, t_first_ref,
         # sweeps below.
         play_blk = planck(tlay_ref[pl.ds(b, 1), :])
         if one_angle:
-            lev_dec = plevb_s[b]
-            b_next = jnp.minimum(b + 1, n_blk_lev - 1)
-            lev_inc = jnp.concatenate(
-                [lev_dec[:, ctile:], plevb_s[b_next][:, :ctile]], axis=1)
-            ts = tau_lw * F32(secants[0])
-            omt = -common.expm1_accurate(-ts)
-            tr = 1.0 - omt
-            fact = jnp.where(ts > thresh,
-                             omt / jnp.maximum(ts, thresh) - tr,
-                             ts * (0.5 - ts * (1.0 / 3.0)))
-            src_dn = omt * lev_inc + 2.0 * fact * (play_blk - lev_inc)
-            src_up = omt * lev_dec + 2.0 * fact * (play_blk - lev_dec)
+            # Single-home blocked per-layer math shared with lw.py
+            # (common.lw_layer_sources / level_edges).
+            lev_dec, lev_inc = common.level_edges(plevb_s, b, n_blk_lev,
+                                                  ctile)
+            tr, src_dn, src_up = common.lw_layer_sources(
+                tau_lw * F32(secants[0]), play_blk, lev_dec, lev_inc,
+                thresh)
             blk_a_s[b] = tr
             blk_c_s[b] = src_up
         else:
@@ -273,23 +268,19 @@ def _lwsw_kernel(params_ref, t_first_ref,
             rad = chunk(blk_a_s, j) * rad + chunk(blk_c_s, j)
             lwup_ref[pl.ds(j, 1), :] += w2pi * jnp.sum(rad, axis=0,
                                                        keepdims=True)
-        r_dif = chunk(rdif_s, j)
-        t_dif = chunk(tdif_s, j)
-        denom = 1.0 / (1.0 - r_dif * albedo)
+        denom, albedo, src = common.sw_adding_up_step(
+            chunk(rdif_s, j), chunk(tdif_s, j), albedo, src,
+            chunk(srcup_s, j), chunk(srcdn_s, j))
         chunk_set(denom_s, j, denom)
-        albedo_new = r_dif + t_dif * t_dif * albedo * denom
-        src = chunk(srcup_s, j) + t_dif * denom * (src + albedo
-                                                   * chunk(srcdn_s, j))
-        albedo = albedo_new
         albedo_s[j] = albedo
         src_s[j] = src
 
     swup_ref[pl.ds(0, 1), :] = jnp.sum(src_s[0], axis=0, keepdims=True)
     dn = jnp.zeros_like(dir_top)
     for j in range(nlay):
-        dn = (chunk(tdif_s, j) * dn + chunk(rdif_s, j) * src_s[j + 1]
-              + chunk(srcdn_s, j)) * chunk(denom_s, j)
-        up = dn * albedo_s[j + 1] + src_s[j + 1]
+        dn, up = common.sw_adding_dn_step(
+            chunk(tdif_s, j), chunk(rdif_s, j), chunk(denom_s, j), dn,
+            albedo_s[j + 1], src_s[j + 1], chunk(srcdn_s, j))
         swdn_ref[pl.ds(j + 1, 1), :] += jnp.sum(dn, axis=0, keepdims=True)
         swup_ref[pl.ds(j + 1, 1), :] = jnp.sum(up, axis=0, keepdims=True)
 

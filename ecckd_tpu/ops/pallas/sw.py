@@ -122,16 +122,14 @@ def _sw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
     albedo_s[nlay] = alb_dif_ref[...]
     src_s[nlay] = alb_dir_ref[...] * dir_sfc
 
+    # Per-step algebra lives in ONE home shared with the merged kernel
+    # (common.sw_adding_up_step / sw_adding_dn_step).
     albedo, src = albedo_s[nlay], src_s[nlay]
     for j in reversed(range(nlay)):
-        r_dif = chunk(rdif_s, j)
-        t_dif = chunk(tdif_s, j)
-        denom = 1.0 / (1.0 - r_dif * albedo)
+        denom, albedo, src = common.sw_adding_up_step(
+            chunk(rdif_s, j), chunk(tdif_s, j), albedo, src,
+            chunk(srcup_s, j), chunk(srcdn_s, j))
         chunk_set(denom_s, j, denom)
-        albedo_new = r_dif + t_dif * t_dif * albedo * denom
-        src = chunk(srcup_s, j) + t_dif * denom * (src + albedo
-                                                   * chunk(srcdn_s, j))
-        albedo = albedo_new
         albedo_s[j] = albedo
         src_s[j] = src
 
@@ -140,9 +138,9 @@ def _sw_kernel(params_ref, t_first_ref, table_hi_ref, table_lo_ref,
 
     dn = jnp.zeros_like(dir_top)
     for j in range(nlay):
-        dn = (chunk(tdif_s, j) * dn + chunk(rdif_s, j) * src_s[j + 1]
-              + chunk(srcdn_s, j)) * chunk(denom_s, j)
-        up = dn * albedo_s[j + 1] + src_s[j + 1]
+        dn, up = common.sw_adding_dn_step(
+            chunk(tdif_s, j), chunk(rdif_s, j), chunk(denom_s, j), dn,
+            albedo_s[j + 1], src_s[j + 1], chunk(srcdn_s, j))
         dn_ref[pl.ds(j + 1, 1), :] += jnp.sum(dn, axis=0, keepdims=True)
         up_ref[pl.ds(j + 1, 1), :] = jnp.sum(up, axis=0, keepdims=True)
 

@@ -32,7 +32,7 @@ def prep(model, plev, tlay, tlev, tsfc, emis_gpt, gas_concs):
     from ecckd_tpu.ops.pallas import lw as lwmod
     ncol, nlay = tlay.shape
     p = plan_mod.build_plan(model, gas_concs.names)
-    ng, npt = p.ng_pad, p.npt_pad
+    ng = p.ng_pad
     n_planck = int(model.planck_function.shape[0])
     npl_pad = ((n_planck + 15) // 16) * 16
     n_p_pad = ((p.n_p + 7) // 8) * 8
@@ -59,7 +59,7 @@ def prep(model, plev, tlay, tlev, tsfc, emis_gpt, gas_concs):
 
     ct = lwmod.LW_COL_TILE
     ncol_pad = ((ncol + ct - 1) // ct) * ct
-    lb = lwmod.LAYER_BLOCK
+    lb = lwmod.derive_layer_block(nlay, p.n_p)
     n_blk = -(-nlay // lb)
     n_blk_lev = -(-(nlay + 1) // lb)
     rows_pad = n_blk * lb

@@ -27,7 +27,8 @@ from __graft_entry__ import _example_batch  # noqa: E402
 from ecckd_tpu.models.loader import load_ckd_model  # noqa: E402
 from ecckd_tpu.ops.pallas import common  # noqa: E402
 from ecckd_tpu.ops.pallas import lwsw  # noqa: E402
-from ecckd_tpu.ops.pallas.lw import (LAYER_BLOCK, COL_TILE, _block_lanes,
+from ecckd_tpu.ops.pallas.lw import (derive_layer_block, COL_TILE,
+                                     _block_lanes,
                                      _pad_cols)  # noqa: E402
 
 F32 = jnp.float32
@@ -180,7 +181,10 @@ def run_variant(name, patches, lw, sw, args):
 
 def prep_only(lw, sw, args):
     """Time just the host->blocked relayout (the pre-kernel XLA ops)."""
-    lb, ct = LAYER_BLOCK, COL_TILE
+    # The kernels derive lb from (nlay, grid) — a fixed module constant
+    # here could measure a blocked layout the real kernel never uses.
+    lb, ct = derive_layer_block(NLAY, int(lw.log_pressure.shape[0])), \
+        COL_TILE
     ncol = NCOL
     ncol_pad = ((ncol + ct - 1) // ct) * ct
 

@@ -19,14 +19,19 @@ sys.path.insert(0, "/root/repo")
 from ecckd_tpu.cli.common import setup_compilation_cache  # noqa: E402
 
 setup_compilation_cache()
-from ecckd_tpu.ops.pallas.lw import (LAYER_BLOCK, COL_TILE, _block_lanes,
+from ecckd_tpu.ops.pallas.lw import (derive_layer_block, COL_TILE,
+                                     _block_lanes,
                                      _pad_cols)  # noqa: E402
 
 F32 = jnp.float32
 NCOL = 65536
 NLAY = 60
 ITERS = 20
-LB, CT = LAYER_BLOCK, COL_TILE
+# No model is loaded here, so derive the block size for the probe's
+# RFMIP-shaped workload from the shipped ckd grid resolution (n_p = 53,
+# the value every bundled model has): keeps the probe's layout identical
+# to what the real kernel derives at this depth.
+LB, CT = derive_layer_block(NLAY, 53), COL_TILE
 NCOL_PAD = ((NCOL + CT - 1) // CT) * CT
 
 
