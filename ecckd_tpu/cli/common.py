@@ -134,17 +134,17 @@ def place_on_mesh(arrays, use_mesh: bool, concs: GasConcs = None):
     placed, _ = pmesh.shard_batch(arrays, m)
     placed_concs = None
     if concs is not None:
-        target = pmesh.pad_columns(ncol, m.devices.size)
         col = pmesh.column_sharding(m)
         rep = pmesh.replicated(m)
 
         def put(v):
             v = np.asarray(v)
             if v.ndim >= 1 and v.shape[0] == ncol:
-                if target != ncol:
-                    v = np.pad(v, [(0, target - ncol)] + [(0, 0)]
-                               * (v.ndim - 1), mode="edge")
-                return jax.device_put(v, col)
+                # The ONE padding rule (pmesh.pad_to_mesh): per-column
+                # conc profiles must pad exactly like the batch arrays
+                # shard_batch placed above.
+                return jax.device_put(
+                    pmesh.pad_to_mesh(v, m.devices.size), col)
             return jax.device_put(v, rep)
 
         placed_concs = jax.tree_util.tree_map(put, concs)

@@ -24,6 +24,7 @@ import jax
 import numpy as np
 
 from ecckd_tpu.cli import common
+from ecckd_tpu.utils import profiling
 from ecckd_tpu.io.rfmip import write_fluxes
 from ecckd_tpu.models.loader import load_ckd_model
 from ecckd_tpu.pipeline import clamp_top_pressure, lw_sw_fluxes
@@ -76,7 +77,11 @@ def main(argv=None) -> int:
         fluxes = jax.jit(fn)(lw_dev, sw_dev, arrays[0], arrays[1],
                              arrays[2], arrays[3], arrays[4], concs_dev,
                              arrays[5], arrays[6], arrays[7])
-        jax.block_until_ready(fluxes)
+        # Value-fetch completion barrier: on the relayed chip
+        # transport block_until_ready can return before the device
+        # executes (bench.py's measured case; CLAUDE.md rule), which
+        # would persist inflated columns_per_sec in --metrics-json.
+        profiling.barrier_fetch(fluxes)
         return fluxes
 
     with common.Timer("lw+sw flux solve") as t:
@@ -91,10 +96,19 @@ def main(argv=None) -> int:
         print("ecckd_rfmip: non-finite fluxes in output", file=sys.stderr)
         return 1
     if args.metrics_json:
-        common.write_metrics(args.metrics_json, ncol=data.ncol,
-                             seconds=t.seconds, args=args, fluxes=flw,
-                             extra={"driver": "lwsw",
-                                    "n_quad_angles": n_quad_angles})
+        # Record BOTH bands' sanity (the persisted baseline must flag an
+        # SW-only regression too, not just LW).
+        sw_up, sw_dn = out["rsu"], out["rsd"]
+        common.write_metrics(
+            args.metrics_json, ncol=data.ncol, seconds=t.seconds,
+            args=args, fluxes=flw,
+            extra={"driver": "lwsw", "n_quad_angles": n_quad_angles,
+                   "sw_flux_up_range": [float(sw_up.min()),
+                                        float(sw_up.max())],
+                   "sw_flux_dn_range": [float(sw_dn.min()),
+                                        float(sw_dn.max())],
+                   "sw_all_finite": bool(np.isfinite(sw_up).all()
+                                         and np.isfinite(sw_dn).all())})
     # LW filenames carry the physics index; SW files are always p1
     # (ecckd_rfmip_lw.F90:59-62 vs ecckd_rfmip_sw.F90:56-57).
     lw_sfx = f"r1i1p{args.physics_index}f{args.forcing_index}_gn.nc"

@@ -19,6 +19,7 @@ import jax
 import numpy as np
 
 from ecckd_tpu.cli import common
+from ecckd_tpu.utils import profiling
 from ecckd_tpu.io.rfmip import write_fluxes
 from ecckd_tpu.pipeline import clamp_top_pressure, lw_fluxes
 
@@ -60,7 +61,11 @@ def main(argv=None) -> int:
                                top_at_1=top_at_1, backend=backend)
         fluxes = jax.jit(fn)(model_dev, arrays[0], arrays[1], arrays[2],
                              arrays[3], arrays[4], concs_dev)
-        jax.block_until_ready(fluxes)
+        # Value-fetch completion barrier: on the relayed chip
+        # transport block_until_ready can return before the device
+        # executes (bench.py's measured case; CLAUDE.md rule), which
+        # would persist inflated columns_per_sec in --metrics-json.
+        profiling.barrier_fetch(fluxes)
         return fluxes
 
     with common.Timer("lw flux solve") as t:

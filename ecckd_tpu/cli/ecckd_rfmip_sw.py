@@ -16,6 +16,7 @@ import jax
 import numpy as np
 
 from ecckd_tpu.cli import common
+from ecckd_tpu.utils import profiling
 from ecckd_tpu.io.rfmip import write_fluxes
 from ecckd_tpu.pipeline import clamp_top_pressure, sw_fluxes
 
@@ -54,7 +55,11 @@ def main(argv=None) -> int:
                                backend=backend)
         fluxes = jax.jit(fn)(model_dev, arrays[0], arrays[1], concs_dev,
                              arrays[2], arrays[3], arrays[4])
-        jax.block_until_ready(fluxes)
+        # Value-fetch completion barrier: on the relayed chip
+        # transport block_until_ready can return before the device
+        # executes (bench.py's measured case; CLAUDE.md rule), which
+        # would persist inflated columns_per_sec in --metrics-json.
+        profiling.barrier_fetch(fluxes)
         return fluxes
 
     with common.Timer("sw flux solve") as t:

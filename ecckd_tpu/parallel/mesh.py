@@ -44,6 +44,19 @@ def pad_columns(n: int, n_shards: int) -> int:
     return (n + n_shards - 1) // n_shards * n_shards
 
 
+def pad_to_mesh(a: np.ndarray, n_dev: int) -> np.ndarray:
+    """Edge-replicate the leading (column) axis up to the mesh multiple —
+    THE single definition of the batch padding rule.  Every per-column
+    input of one jitted call must go through this same rule (a second
+    hand-written copy that diverges produces mismatched batch extents
+    and a shape error at trace time)."""
+    target = pad_columns(a.shape[0], n_dev)
+    if target != a.shape[0]:
+        pad = [(0, target - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        a = np.pad(a, pad, mode="edge")
+    return a
+
+
 def shard_batch(arrays, mesh: Mesh):
     """Place every array (leading axis = columns) with column sharding.
 
@@ -58,11 +71,7 @@ def shard_batch(arrays, mesh: Mesh):
         a = np.asarray(a)
         if ncol is None:
             ncol = a.shape[0]
-        target = pad_columns(a.shape[0], n_dev)
-        if target != a.shape[0]:
-            pad = [(0, target - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-            a = np.pad(a, pad, mode="edge")
-        placed.append(jax.device_put(a, spec))
+        placed.append(jax.device_put(pad_to_mesh(a, n_dev), spec))
     return placed, ncol
 
 

@@ -95,6 +95,12 @@ def _surface_to_gpt(model: CKDModel, sfc: jax.Array, ncol: int,
 def _use_fused(model: CKDModel, dtype, backend: str, top_at_1: bool) -> bool:
     """Fused Pallas mega-kernels run on TPU-class backends at f32; the XLA
     path covers everything else (CPU tests, f64 validation runs)."""
+    if backend not in ("auto", "xla", "fused"):
+        # A typo'd backend string must not silently re-route the compute
+        # path (the CLI parser constrains choices; the library API must
+        # too).
+        raise ValueError(f"unknown backend {backend!r}; "
+                         "expected 'auto', 'xla' or 'fused'")
     if backend == "xla":
         return False
     on_tpu = jax.default_backend() == "tpu"
@@ -252,8 +258,7 @@ def lw_sw_fluxes(model_lw: CKDModel, model_sw: CKDModel, plev: jax.Array,
     # per-angle sweeps — both share the single one-hot/interpolation
     # pass with SW (ops/pallas/lwsw.py).
     if (n_gauss_angles in (1, 2, 3, 4)
-            and _use_fused(model_lw, dtype, "auto" if backend == "auto"
-                           else backend, top_at_1)
+            and _use_fused(model_lw, dtype, backend, top_at_1)
             and _use_fused(model_sw, dtype, "auto", top_at_1)):
         from ecckd_tpu.ops.pallas.lwsw import (lwsw_fluxes_fused,
                                                models_mergeable)

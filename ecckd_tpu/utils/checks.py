@@ -44,10 +44,18 @@ def validate_inputs(plev: np.ndarray, tlay: np.ndarray,
         raise InputValidationError("non-positive layer temperatures")
     if tlev is not None and (np.asarray(tlev) <= 0).any():
         raise InputValidationError("non-positive level temperatures")
-    if press_min is not None and plev.min() < press_min * (1 - 1e-12):
-        raise InputValidationError(
-            f"pressure {plev.min():g} Pa below table minimum {press_min:g} "
-            f"Pa; apply clamp_top_pressure first")
+    # Tolerance: one f32 ulp of press_min, NOT a fixed 1e-12 relative —
+    # clamp_top_pressure stores press_min + eps into an f32 array, and in
+    # binades where the f32 ulp exceeds 2*eps the stored value legally
+    # rounds up to 0.5 ulp BELOW press_min; a 1e-12 tolerance would then
+    # reject inputs the clamp itself produced.
+    if press_min is not None:
+        floor = np.float64(np.nextafter(np.float32(press_min),
+                                        np.float32(0.0)))
+        if plev.min() < floor:
+            raise InputValidationError(
+                f"pressure {plev.min():g} Pa below table minimum "
+                f"{press_min:g} Pa; apply clamp_top_pressure first")
     if press_max is not None and plev.max() > press_max * (1 + 0.25):
         raise InputValidationError(
             f"pressure {plev.max():g} Pa far above table maximum "
@@ -55,8 +63,16 @@ def validate_inputs(plev: np.ndarray, tlay: np.ndarray,
 
 
 def assert_all_finite(x: jax.Array, name: str = "array") -> jax.Array:
-    """Jit-compatible finiteness check; raises at dispatch via debug
-    callback when any element is non-finite."""
+    """Jit-compatible finiteness check via debug callback.
+
+    NOTE the async contract: under jit the callback runs on the host
+    AFTER dispatch returns, so the FloatingPointError surfaces at a
+    LATER synchronization point (typically wrapped in an
+    XlaRuntimeError), not at the call site — a local
+    ``try/except FloatingPointError`` around the jitted call will NOT
+    catch it.  Use this as a loud tripwire, not a control-flow guard;
+    for eager/host-side guards use ``np.isfinite`` directly, and for
+    op-level localization use ``enable_nan_debugging``."""
     ok = jnp.isfinite(x).all()
 
     def _report(ok_val):
