@@ -126,7 +126,7 @@ def run_weak_scaling(step: Callable, chunk_builder: Callable[[int], tuple],
                      consume: Optional[Callable] = None,
                      warmup: int = 1,
                      chunk_ids: Optional[Sequence] = None,
-                     depth: int = 2) -> dict:
+                     depth: int = 2, batch_leaf=None) -> dict:
     """Chunked weak-scaling run.  Every chunk's output reaches the
     ``consume`` sink exactly once, in order (the invariant the restart
     journal depends on); best-of-N measurement passes belong in the
@@ -144,6 +144,9 @@ def run_weak_scaling(step: Callable, chunk_builder: Callable[[int], tuple],
       chunk_ids: explicit chunk ids to process (restart-at-chunk: pass the
         not-yet-completed subset; defaults to range(n_chunks)).
       depth: in-flight chunks behind the drain point (see stream_chunks).
+      batch_leaf: optional leaf -> bool forwarded to place_pytree, for
+        chunk args containing replicated leaves whose leading extent
+        could coincide with chunk_cols (e.g. model tables).
 
     Returns metrics incl. columns/s and columns/s/device.
     """
@@ -151,7 +154,11 @@ def run_weak_scaling(step: Callable, chunk_builder: Callable[[int], tuple],
     ids = list(range(n_chunks)) if chunk_ids is None else list(chunk_ids)
 
     def placed(i):
-        return place_pytree(chunk_builder(i), mesh, chunk_cols)
+        # batch_leaf forwards to place_pytree's escape hatch: without it
+        # a replicated leaf (e.g. a model table) whose leading extent
+        # happens to equal chunk_cols would be silently column-sharded.
+        return place_pytree(chunk_builder(i), mesh, chunk_cols,
+                            batch_leaf=batch_leaf)
 
     if warmup and ids:
         stream_chunks(step, ((placed(ids[i % len(ids)]), None)

@@ -255,11 +255,22 @@ def main(argv=None) -> int:
     ok = True
     for mode in args.modes.split(","):
         env = dict(os.environ, ECCKD_MXU_PRECISION=mode)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker",
-             "--mode", mode, "--ncol", str(args.ncol),
-             "--nlay", str(args.nlay)],
-            env=env, capture_output=True, text=True, timeout=3000)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 "--mode", mode, "--ncol", str(args.ncol),
+                 "--nlay", str(args.nlay)],
+                env=env, capture_output=True, text=True, timeout=3000)
+        except subprocess.TimeoutExpired as e:
+            # A hung worker (flaky tunneled-chip session) must be a
+            # RECORDED failure, not an uncaught traceback that discards
+            # the other mode's completed result and writes no artifact.
+            print(f"FAIL: {mode} worker timed out after {e.timeout:.0f}s",
+                  file=sys.stderr)
+            results[mode] = {"mode": mode, "pass": False,
+                             "error": f"worker timeout ({e.timeout:.0f}s)"}
+            ok = False
+            continue
         sys.stderr.write(proc.stderr)
         line = next((ln for ln in proc.stdout.splitlines()
                      if ln.startswith("PARITY_RESULT ")), None)
