@@ -175,3 +175,46 @@ def test_reader_rejects_truncated_header(tmp_path):
             f.write(blob[:cut])
         with pytest.raises(OSError):
             nc3.NativeReader(bad)
+
+
+def test_reader_streaming_numrecs_sentinel(tmp_path):
+    """numrecs == 0xFFFFFFFF (the CDF STREAMING convention) must be
+    derived from the file size per spec — not reported as ~4.3e9
+    records (which would OOM any consumer)."""
+    nc3 = _native()
+    p = str(tmp_path / "rec.nc")
+    f = netcdf_file(p, "w")
+    f.createDimension("t", None)
+    f.createDimension("x", 3)
+    v = f.createVariable("v", "f8", ("t", "x"))
+    v[0] = [1.0, 2.0, 3.0]
+    v[1] = [4.0, 5.0, 6.0]
+    f.flush(); f.close()
+    blob = bytearray(open(p, "rb").read())
+    blob[4:8] = b"\xff\xff\xff\xff"
+    p2 = str(tmp_path / "stream.nc")
+    open(p2, "wb").write(bytes(blob))
+    with nc3.NativeReader(p2) as r:
+        assert tuple(r.var_shape("v")) == (2, 3)
+        np.testing.assert_array_equal(
+            r.read("v"), [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+
+
+def test_reader_unknown_type_is_loud(tmp_path):
+    """An unrecognized variable type code must raise, not return zeros
+    (type_size(unknown)==0 made the pread a 0-byte 'success' before the
+    round-5 fix)."""
+    import struct
+    nc3 = _native()
+    u32 = lambda v: struct.pack(">I", v)
+    hdr = b"CDF\x01" + u32(0)
+    hdr += u32(0x0A) + u32(1) + u32(1) + b"x\x00\x00\x00" + u32(2)
+    hdr += u32(0) + u32(0)
+    hdr += u32(0x0B) + u32(1) + u32(1) + b"v\x00\x00\x00"
+    hdr += u32(1) + u32(0) + u32(0) + u32(0)
+    hdr += u32(99) + u32(16) + u32(len(hdr) + 8)
+    p = str(tmp_path / "badtype.nc")
+    open(p, "wb").write(hdr + struct.pack(">2d", 1.5, 2.5))
+    with nc3.NativeReader(p) as r:
+        with pytest.raises(OSError, match="unknown type"):
+            r.read("v")
