@@ -20,7 +20,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 # Single-core CPU columns/s for the same LW+SW pipeline (XLA-CPU, f64 like
 # the Fortran chain, single thread).  Measured on this container; see
@@ -147,13 +146,10 @@ def run_configs(ncol: int = 65536) -> None:
     epochs, iters = 3, 8
     for _ in range(epochs):
         for name, step in cases.items():
-            t0 = time.perf_counter()
-            acc = step()
-            for _ in range(iters - 1):
-                acc = acc + step()
-            float(acc)
+            # The one load-bearing timing protocol lives in _time_steps;
+            # configs were warmed above, so warmup=0 here.
             best[name] = min(best[name],
-                             (time.perf_counter() - t0) / iters)
+                             _time_steps(step, iters=iters, warmup=0))
     results = {}
     for name in cases:
         results[name] = round(ncol / best[name], 1)

@@ -122,6 +122,21 @@ def main(argv=None) -> int:
         tsfc = base["tsfc"] + dtype(0.01) * dtype(i % 7)
         return (lw, sw, batch[0], batch[1], batch[2], tsfc, *batch[4:])
 
+    # place_pytree's batch_leaf escape hatch, for exactly this caller's
+    # hazard: the chunk args BUNDLE the model pytrees, whose replicated
+    # leaves (e.g. log_pressure, leading extent n_p=53 in every shipped
+    # file) would match the default shape[0]==chunk heuristic whenever
+    # --chunk collides with a table extent and get column-sharded.  The
+    # model leaves are the stable placed arrays closed over above, so an
+    # identity check marks them explicitly.
+    model_leaf_ids = {id(leaf)
+                      for leaf in jax.tree_util.tree_leaves((lw, sw))}
+
+    def batch_leaf(x):
+        return (id(x) not in model_leaf_ids
+                and getattr(x, "ndim", 0) >= 1
+                and x.shape[0] == args.chunk)
+
     n_chunks = args.columns // args.chunk
     consume = None
     done: set = set()
@@ -193,7 +208,8 @@ def main(argv=None) -> int:
     # number would reintroduce (CLAUDE.md timing rules).
     import time as _time
     import jax.numpy as jnp
-    ref_args = place_pytree(chunk_builder(0), mesh, args.chunk)
+    ref_args = place_pytree(chunk_builder(0), mesh, args.chunk,
+                            batch_leaf=batch_leaf)
 
     def _ref_step():
         outs = step(*ref_args)
@@ -236,7 +252,8 @@ def main(argv=None) -> int:
         m = run_weak_scaling(step, chunk_builder, n_chunks, args.chunk,
                              mesh=mesh, consume=consume,
                              warmup=1 if k == 0 else 0,
-                             chunk_ids=pending, depth=args.depth)
+                             chunk_ids=pending, depth=args.depth,
+                             batch_leaf=batch_leaf)
         if metrics is None or m["wall_s"] < metrics["wall_s"]:
             metrics = m
     compute_ref = args.chunk / best_ref

@@ -355,8 +355,18 @@ def level_edges(plevb_s, b, n_blk_lev, ctile):
     by lw.py and lwsw.py's 1-angle phase A."""
     lev_dec = plevb_s[b]
     b_next = jnp.minimum(b + 1, n_blk_lev - 1)
-    lev_inc = jnp.concatenate(
-        [lev_dec[:, ctile:], plevb_s[b_next][:, :ctile]], axis=1)
+    if lev_dec.shape[1] == ctile:
+        # lb == 1 (derive_layer_block at nlay <= ~11): the shifted-left
+        # remainder lev_dec[:, ctile:] is EMPTY, and Mosaic rejects
+        # 0-sized vectors ("vector types must have positive constant
+        # sizes") — the whole inc edge is the next block's first chunk.
+        # Static-shape branch, so both kernels lower shallow atmospheres
+        # instead of falling back to XLA (round-5 fix, caught by an
+        # nlay=8 on-chip drive).
+        lev_inc = plevb_s[b_next][:, :ctile]
+    else:
+        lev_inc = jnp.concatenate(
+            [lev_dec[:, ctile:], plevb_s[b_next][:, :ctile]], axis=1)
     return lev_dec, lev_inc
 
 

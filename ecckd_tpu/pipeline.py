@@ -147,6 +147,12 @@ def lw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             raise ValueError("logarithmic_interpolation is not supported "
                              "by the fused kernels; use backend='auto' or "
                              "'xla'")
+        if backend not in ("auto", "xla"):
+            # Validate BEFORE the xla override: a typo'd backend string
+            # must raise, not silently re-route (same contract as
+            # _use_fused on the non-log path).
+            raise ValueError(f"unknown backend {backend!r}; "
+                             "expected 'auto', 'xla' or 'fused'")
         backend = "xla"
     if _use_fused(model, dtype, backend, top_at_1):
         from ecckd_tpu.ops.pallas.lw import lw_fluxes_fused
@@ -198,6 +204,10 @@ def sw_fluxes(model: CKDModel, plev: jax.Array, tlay: jax.Array,
             raise ValueError("logarithmic_interpolation is not supported "
                              "by the fused kernels; use backend='auto' or "
                              "'xla'")
+        if backend not in ("auto", "xla"):
+            # Validate BEFORE the xla override (see lw_fluxes).
+            raise ValueError(f"unknown backend {backend!r}; "
+                             "expected 'auto', 'xla' or 'fused'")
         backend = "xla"
     if _use_fused(model, dtype_in, backend, top_at_1):
         from ecckd_tpu.ops.pallas.sw import sw_fluxes_fused

@@ -196,13 +196,6 @@ int64_t Reader::offset() {
   return static_cast<int64_t>(bswap64(v));
 }
 
-std::string Reader::name() {
-  uint32_t n = u32();
-  std::string s(reinterpret_cast<const char*>(header_.data() + pos_), n);
-  pos_ += pad4(n);
-  return s;
-}
-
 bool Reader::read_u32(uint32_t* v, std::string* err) {
   if (!need(4, err)) return false;
   *v = u32();

@@ -90,7 +90,6 @@ class Reader {
   bool need(size_t n, std::string* err);
   uint32_t u32();
   int64_t offset();
-  std::string name();
   // Bounds-checked variants: every header read goes through these so a
   // truncated / corrupt / chunk-straddling header surfaces as the
   // "truncated netCDF header" sentinel (Open()'s grow-retry key) or a

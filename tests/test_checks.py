@@ -45,3 +45,18 @@ def test_unknown_backend_string_raises():
         _use_fused(None, np.float32, "pallas", True)
     with pytest.raises(ValueError, match="unknown backend"):
         _use_fused(None, np.float32, "Fused", True)
+
+
+def test_unknown_backend_with_log_interp_raises():
+    """The logarithmic_interpolation XLA override must not bypass backend
+    validation: a typo'd backend string raises instead of silently
+    re-routing (round-5 review fix; the override runs before _use_fused,
+    so the check lives in the override itself)."""
+    from ecckd_tpu.pipeline import lw_fluxes, sw_fluxes
+    tlay = np.zeros((1, 2), np.float32)
+    with pytest.raises(ValueError, match="unknown backend"):
+        lw_fluxes(None, None, tlay, None, None, None, None,
+                  backend="pallas", logarithmic_interpolation=True)
+    with pytest.raises(ValueError, match="unknown backend"):
+        sw_fluxes(None, None, tlay, None, None, None, None,
+                  backend="Fused", logarithmic_interpolation=True)

@@ -413,3 +413,51 @@ def test_multi_angle_rolled_sweeps_match_unrolled(n_angles, monkeypatch):
             n_gauss_angles=n_angles, interpret=True)]
     for a, b in zip(outs["1"], outs["0"]):
         np.testing.assert_allclose(a, b, rtol=2e-6)
+
+
+@pytest.mark.parametrize("n_angles", [1, 3])
+def test_shallow_depth_single_layer_block(n_angles):
+    """nlay=8 drives derive_layer_block to lb=1, where level_edges'
+    shifted-left remainder slice is EMPTY: the lb==1 branch must take the
+    whole inc edge from the next level block (round-5 fix — the old
+    unconditional concat produced a 0-sized vector Mosaic refuses,
+    silently demoting every shallow atmosphere to the XLA fallback).
+    Interpret mode pins the branch's numerics; the on-chip lowering is
+    gated by tools/chip_parity.py --nlay 8."""
+    from ecckd_tpu.ops.pallas.lw import derive_layer_block
+    from ecckd_tpu.ops.pallas.lwsw import lwsw_fluxes_fused
+    model = load_ckd_model(LW_FSCK, dtype=np.dtype(F32))
+    sw_model = load_ckd_model(SW_WIDE, dtype=np.dtype(F32))
+    assert derive_layer_block(8, model.log_pressure.shape[0]) == 1
+    plev, tlay, tlev, tsfc, concs = _inputs(ncol=161, nlay=8, seed=7)
+    ncol = tlay.shape[0]
+    emis = jnp.full(ncol, F32(0.97))
+    up, dn = lw_fluxes_fused(model, plev, tlay, tlev, tsfc, emis, concs,
+                             n_gauss_angles=n_angles, interpret=True)
+    ref = lw_fluxes(model, plev, tlay, tlev, tsfc, emis, concs,
+                    n_gauss_angles=n_angles, backend="xla")
+    scale = float(jnp.abs(ref.flux_up).max())
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ref.flux_up),
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(dn), np.asarray(ref.flux_dn),
+                               atol=3e-5 * scale)
+    if n_angles == 1:
+        alb = jnp.full(ncol, F32(0.2))
+        tsi = jnp.full(ncol, F32(1361.0))
+        sza = jnp.asarray(np.linspace(0.0, 120.0, ncol), F32)
+        lu, ld, su, sd = lwsw_fluxes_fused(
+            model, sw_model, plev, tlay, tlev, tsfc, emis, concs,
+            alb, tsi, sza, n_gauss_angles=1, interpret=True)
+        ref_sw = sw_fluxes(sw_model, plev, tlay, concs, alb, tsi, sza,
+                           backend="xla")
+        sw_scale = float(jnp.abs(ref_sw.flux_dn).max())
+        np.testing.assert_allclose(np.asarray(lu), np.asarray(ref.flux_up),
+                                   atol=3e-5 * scale)
+        np.testing.assert_allclose(np.asarray(ld), np.asarray(ref.flux_dn),
+                                   atol=3e-5 * scale)
+        np.testing.assert_allclose(np.asarray(su),
+                                   np.asarray(ref_sw.flux_up),
+                                   atol=3e-5 * sw_scale)
+        np.testing.assert_allclose(np.asarray(sd),
+                                   np.asarray(ref_sw.flux_dn),
+                                   atol=3e-5 * sw_scale)

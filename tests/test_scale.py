@@ -161,3 +161,34 @@ def test_stream_chunks_depth_semantics():
         for key in ("dispatch_s", "d2h_issue_s", "drain_wait_s",
                     "consume_s", "wall_s"):
             assert key in m
+
+
+def test_place_pytree_batch_leaf_hatch():
+    """A replicated leaf whose leading extent collides with the chunk size
+    must stay replicated when the caller marks batch leaves explicitly —
+    the scale_bench hazard: its chunk args bundle the model pytrees, whose
+    log_pressure/temperature leaves have leading extent n_p=53 and would
+    match the default shape[0]==ncol heuristic at --chunk 53 (round-5
+    review fix: scale_bench now passes an id-based batch_leaf)."""
+    mesh = pmesh.make_column_mesh()
+    ncol = 16
+    model_like = {"log_pressure": np.arange(ncol, dtype=np.float32),
+                  "table": np.ones((ncol, 4), np.float32)}
+    batch = {"tlay": np.ones((ncol, 8), np.float32)}
+    model_ids = {id(v) for v in model_like.values()}
+
+    def batch_leaf(x):
+        return (id(x) not in model_ids
+                and getattr(x, "ndim", 0) >= 1 and x.shape[0] == ncol)
+
+    m, b = place_pytree((model_like, batch), mesh, ncol,
+                        batch_leaf=batch_leaf)
+    col = pmesh.column_sharding(mesh)
+    rep = pmesh.replicated(mesh)
+    assert b["tlay"].sharding.is_equivalent_to(col, b["tlay"].ndim)
+    for v in m.values():
+        assert v.sharding.is_equivalent_to(rep, v.ndim)
+    # The default heuristic DOES column-shard the colliding model leaf —
+    # the escape hatch is load-bearing, not redundant.
+    m_def, _ = place_pytree((model_like, batch), mesh, ncol)
+    assert m_def["table"].sharding.is_equivalent_to(col, 2)

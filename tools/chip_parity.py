@@ -62,7 +62,13 @@ SW_WIDE = ("/root/reference/data/"
 # skill); bf16 is the documented ~1e-4 fast mode.  Bounds are ~2.5x the
 # measured worst case on this batch to stay insensitive to roundoff drift
 # while still catching any real indexing/lowering bug (those are >>1e-2).
-BOUNDS = {"bf16x3": 5.0e-5, "bf16": 5.0e-4}
+# "highest" (Mosaic 6-pass f32, validation experiments) is at least as
+# accurate as bf16x3 and shares its bound; "default" is the documented
+# legacy alias of bf16 (ops/pallas/common.py mode table) and shares its.
+# An unlisted mode string still hard-errors at the gate — no silent
+# loose-bound fallback.
+BOUNDS = {"bf16x3": 5.0e-5, "bf16": 5.0e-4,
+          "highest": 5.0e-5, "default": 5.0e-4}
 
 
 def adversarial_batch(ncol: int, nlay: int):
